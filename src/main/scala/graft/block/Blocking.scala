@@ -1,0 +1,175 @@
+package graft.block
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.schema.Page
+
+/**
+ * Blocking stage (SURVEY.md §2.4 J1): replaces the reference's dense top-k
+ * retrieval (`/root/reference/relik/retriever/indexers/inmemory.py:269-315`)
+ * with the union of two complementary candidate generators:
+ *
+ *   1. MinHash-LSH band keys over hashed text tokens — catches near-duplicate
+ *      and same-topic pages (the "retriever recall" knob: P(candidate) =
+ *      1-(1-j^r)^b for token-Jaccard j).
+ *   2. Mention-token keys over the normalized anchor mention — catches pages
+ *      about the same entity under perturbed surface forms (shared last name
+ *      token survives typos in other tokens).
+ *
+ * Pair generation is block-local and skew-aware (SURVEY.md §4.2):
+ *   - blocks ≤ `maxBlock`: all C(n,2) pairs (bounded by cap²/2)
+ *   - `maxBlock` < blocks ≤ `purgeLimit`: sorted-neighborhood within the
+ *     block (`Window.partitionBy(key).orderBy(sortKey)` + `lead`), O(n·w)
+ *     pairs instead of O(n²) — the hot-key path
+ *   - blocks > `purgeLimit`: purged (boilerplate/stop-token blocks carry no
+ *     linkage signal at web scale; SparkER-style block purging), counted in
+ *     lineage.
+ *
+ * All decisions are data-driven from a single block-size aggregation —
+ * map-side combined, one shuffle — not a driver-side collect.
+ */
+object Blocking {
+
+  case class Config(
+      minhashHashes: Int = 48,
+      bands: Int = 12,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L,
+      maxBlock: Int = 64,       // full-pairs cap
+      purgeLimit: Int = 100000, // drop blocks bigger than this
+      snWindow: Int = 8,        // sorted-neighborhood width for hot blocks
+      minMentionTokenLen: Int = 3,
+      dfStopRatio: Double = 0.10, // drop tokens present in >10% of docs
+      dfStopMax: Int = 100000,    // hard cap on the broadcast stop set
+      minTf: Int = 2,             // MinHash only tokens repeated in-doc
+      minTfKeep: Int = 8)         // fall back to all tokens below this
+
+  /**
+   * Stage-1 features per page: normalized anchor mention (first extracted
+   * line — the reference's doc_topic analog, `/root/reference/relik/
+   * inference/data/window/manager.py:148-149`), hashed text tokens with
+   * high-document-frequency tokens removed, MinHash signature.
+   *
+   * The DF-stop pass matters at web scale: boilerplate/stopword tokens
+   * appear in (nearly) every page, inflate every pair's Jaccard by a
+   * constant, and force LSH into either low recall or quadratic junk
+   * blocks. Dropping tokens with df > `dfStopRatio` (one map-side-combined
+   * aggregation; the surviving stop set is tiny — stopwords + boilerplate —
+   * and broadcast as a literal) restores the Jaccard contrast. This is the
+   * Catalyst analog of the reference's special-symbols masking
+   * (`/root/reference/relik/reader/data/relik_reader_data.py:264-269`).
+   */
+  def features(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val toks = split(normalize_text(col("text")), " ")
+    val raw = pages.toDF().select(
+      col("url"),
+      normalize_text(substring_index(col("text"), "\n", 1)).as("mention"),
+      token_ngram_hashes(toks, 1, cfg.seed).as("tokenHashes"),
+      tf_filtered_hashes(toks, cfg.minTf, cfg.minTfKeep, cfg.seed).as("freqHashes"))
+
+    val withStops = if (cfg.dfStopRatio < 1.0) {
+      val agg = raw.select(explode($"tokenHashes").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("df"))
+      val nDocs = pages.count()
+      val common = agg
+        .filter($"df" > nDocs * cfg.dfStopRatio)
+        .orderBy($"df".desc)
+        .limit(cfg.dfStopMax)
+        .select($"t").as[Long].collect().toSeq
+      if (common.isEmpty) raw
+      else raw
+        .withColumn("tokenHashes", array_except($"tokenHashes", typedLit(common)))
+        .withColumn("freqHashes", array_except($"freqHashes", typedLit(common)))
+    } else raw
+
+    withStops
+      .withColumn("sig", minhash_signature(col("freqHashes"), cfg.minhashHashes, cfg.seed))
+      .drop("freqHashes")
+  }
+
+  /**
+   * Exploded blocking-key table: (key LONG, url, mention, sig). Key domains
+   * are separated by construction (band keys are mixed with the band index;
+   * mention-token keys are hashed with a distinct seed).
+   */
+  def blockKeys(features: DataFrame, cfg: Config = Config()): DataFrame = {
+    val lshKeys = features.select(
+      explode(minhash_band_keys(
+        col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
+      col("url"), col("mention"), col("sig"))
+
+    val mentionKeys = features.select(
+      explode(token_ngram_hashes(
+        filter(split(col("mention"), " "), t => length(t) >= cfg.minMentionTokenLen),
+        1, cfg.seed ^ 0x6d656e74L)).as("key"),
+      col("url"), col("mention"), col("sig"))
+
+    lshKeys.unionByName(mentionKeys)
+  }
+
+  /**
+   * Candidate pairs from blocks, deduped across keys (`url_a < url_b`),
+   * carrying both sides' scorer payloads so the scorer needs no further
+   * joins. Returns (url_a, url_b, mention_a, mention_b, sig_a, sig_b).
+   */
+  def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+
+    val payload = struct($"url", $"mention", $"sig").as("p")
+
+    // one aggregation computes block size; AQE splits any residual skew
+    val sized = blocks
+      .groupBy($"key")
+      .agg(collect_list(payload).as("members"), count(lit(1)).as("n"))
+
+    val small = sized.filter($"n".between(2, cfg.maxBlock))
+    val hot = sized.filter($"n" > cfg.maxBlock && $"n" <= cfg.purgeLimit)
+
+    // full C(n,2) pairs inside small blocks via a sorted higher-order cross
+    val smallPairs = small
+      .select(explode(pairCombos($"members")).as("pr"))
+      .select($"pr._1".as("a"), $"pr._2".as("b"))
+
+    // hot blocks: re-explode and sorted-neighborhood by mention sort key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"p.mention", $"p.url")
+    val hotExploded = hot.select($"key", explode($"members").as("p"))
+    val hotPairs = (1 to cfg.snWindow).map { d =>
+      hotExploded
+        .withColumn("b", lead($"p", d).over(w))
+        .filter($"b".isNotNull)
+        .select($"p".as("a"), $"b")
+    }.reduce(_ unionByName _)
+
+    smallPairs.unionByName(hotPairs)
+      .select(
+        when($"a.url" < $"b.url", $"a").otherwise($"b").as("x"),
+        when($"a.url" < $"b.url", $"b").otherwise($"a").as("y"))
+      .select(
+        $"x.url".as("url_a"), $"y.url".as("url_b"),
+        $"x.mention".as("mention_a"), $"y.mention".as("mention_b"),
+        $"x.sig".as("sig_a"), $"y.sig".as("sig_b"))
+      .dropDuplicates("url_a", "url_b") // A2 analog: dedup multiply-blocked pairs
+  }
+
+  /** members ARRAY<STRUCT> -> ARRAY<STRUCT<_1,_2>> of all unordered pairs. */
+  private def pairCombos(members: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    flatten(transform(members, (a, i) =>
+      transform(slice(members, i + 2, size(members)), b => struct(a.as("_1"), b.as("_2")))))
+  }
+
+  /** Block-size histogram for lineage / skew monitoring (A5 analog). */
+  def blockStats(blocks: DataFrame): DataFrame = {
+    blocks.groupBy("key").count()
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        max("count").as("max_block"),
+        expr("percentile_approx(count, 0.99)").as("p99_block"),
+        sum(expr("count * (count - 1) / 2")).as("naive_pairs"))
+  }
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Spark 4.x removed the public `new Column(expr)` constructor (Column moved
+ * to sql-api, backed by ColumnNode). The supported internal route is
+ * `org.apache.spark.sql.classic.ExpressionUtils`, which is `private[sql]`,
+ * so this one-file bridge lives under the org.apache.spark.sql package —
+ * the same approach used by spark-connectors in the wild.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.block.Blocking
+import graft.eval.PairwiseF1
+import graft.ingest.CorpusGen
+import graft.score.PairScorer
+
+class ErPipelineSpec extends SparkSpec {
+
+  private val N = 1000L
+
+  lazy val pages = CorpusGen.pages(spark, N, seed = 42L).cache()
+  lazy val gold = CorpusGen.goldPairs(spark, N, seed = 42L).cache()
+
+  test("generator invariant: text == ExtractText(html) per row") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val bad = pages.toDF()
+      .filter(not(extract_text(col("html")) <=> col("text")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("gold pairs population is labeled both ways") {
+    import org.apache.spark.sql.functions._
+    val counts = gold.groupBy("is_match").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(true, 0L) > 500, s"positives: $counts")
+    assert(counts.getOrElse(false, 0L) > 100, s"negatives: $counts")
+    assert(gold.filter(col("url_a") >= col("url_b")).count() == 0)
+  }
+
+  test("blocking recall on labeled matching pairs ≥ 0.99") {
+    val feats = Blocking.features(pages, Blocking.Config())
+    val pairs = Blocking.candidatePairs(Blocking.blockKeys(feats), Blocking.Config())
+    val recall = PairwiseF1.blockingRecall(gold, pairs)
+    info(s"blocking recall = $recall, candidate pairs = ${pairs.count()}")
+    assert(recall >= 0.99, s"blocking recall $recall")
+  }
+
+  test("end-to-end pairwise F1 ≥ 0.99 (north-rule metric)") {
+    val (clusters, res) = ErPipeline.runAndEvaluate(pages, gold)
+    info(s"pairwise $res")
+    info(s"clusters: ${clusters.select("cluster_id").distinct().count()} over ${clusters.count()} pages")
+    assert(res.f1 >= 0.99, s"pairwise F1 ${res.f1} ($res)")
+  }
+
+  test("scorer: expression path == typed mapPartitions path") {
+    import org.apache.spark.sql.functions._
+    val feats = Blocking.features(pages, Blocking.Config())
+    val pairs = Blocking.candidatePairs(Blocking.blockKeys(feats), Blocking.Config()).cache()
+    val viaExpr = PairScorer.score(pairs)
+    import spark.implicits._
+    val viaTyped = PairScorer.scoreTyped(pairs.as[PairScorer.PairRow])
+    val a = viaExpr.select("url_a", "url_b").except(viaTyped.toDF().select("url_a", "url_b")).count()
+    val b = viaTyped.toDF().select("url_a", "url_b").except(viaExpr.select("url_a", "url_b")).count()
+    assert(a == 0 && b == 0, s"paths disagree: $a/$b")
+    pairs.unpersist()
+  }
+}
