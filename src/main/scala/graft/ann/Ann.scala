@@ -1,0 +1,110 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.functions.VectorKernels
+
+/**
+ * Similarity search over an embedding column `ARRAY<FLOAT>` (the Spark-scale
+ * reframing of the reference's dense retrieval: brute-force `Q·Eᵀ` + topk at
+ * `/root/reference/relik/retriever/indexers/inmemory.py:269-315`, ANN via
+ * FAISS at `faissindex.py:343-370`).
+ *
+ * Two paths:
+ *  - `bruteForceTopK`: exact. Queries are broadcast (small side); each corpus
+ *    partition computes a local top-k per query with a bounded heap
+ *    (mapPartitions — the one place imperative code beats SQL: it avoids
+ *    materializing |corpus|×|queries| rows before the window), then a single
+ *    tiny shuffle (numPartitions × q × k rows) merges partials.
+ *  - `lshTopK`: approximate scale path. Signed-random-projection buckets
+ *    bound the candidate set; exact cosine re-rank inside buckets.
+ */
+object Ann {
+
+  case class Neighbor(query_id: Long, neighbor_id: Long, cosine: Double)
+
+  /**
+   * Exact top-k cosine neighbors for each query vector.
+   * `queries` must be collectable (broadcast side).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(q)
+
+    val partials = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        // per-query bounded min-heaps over (cosine, id)
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+        it.foreach { case (id, vec) =>
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv) = qs(i)
+            if (id != qid) {
+              val c = VectorKernels.cosineArr(qv, vec)
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((c, id))
+              else if (c > h.head._1 || (c == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((c, id))
+              }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (c, id) => Neighbor(qs(i)._1, id, c) }
+        }
+      }
+
+    // global merge of partition-local top-k (tiny): deterministic tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    partials.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  case class LshConfig(bands: Int = 16, bits: Int = 10, seed: Long = 42L, maxBlock: Int = 2048)
+
+  /**
+   * Approximate top-k: SRP-LSH candidate generation + exact re-rank.
+   * Works corpus-vs-corpus (every row is a query) without a cross join.
+   */
+  def lshTopK(corpus: DataFrame, k: Int, cfg: LshConfig = LshConfig(),
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val blocks = v.select(
+      explode(srp_band_keys(col("vec"), cfg.bands, cfg.bits, cfg.seed)).as("key"),
+      col("id"), col("vec"))
+    val grouped = blocks.groupBy(col("key"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("ms"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, cfg.maxBlock))
+    val pairs = grouped
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.as("_1"), b.as("_2"))))))
+        .as("pr"))
+      .select(col("pr._1.id").as("id_a"), col("pr._2.id").as("id_b"),
+        cosine_sim(col("pr._1.vec"), col("pr._2.vec")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+    // symmetrize, rank per query id
+    val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
+      .unionAll(pairs.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -60,7 +60,8 @@ object StringSimKernels {
       i += 1
     }
     val m = matches.toDouble
-    (m / la + m / lb + (m - t / 2.0) / m) / 3.0
+    // t/2 uses integer division — matches the RapidFuzz/DuckDB definition
+    (m / la + m / lb + (m - (t / 2)) / m) / 3.0
   }
 
   /**
