@@ -114,7 +114,8 @@ object SparkEntry {
     "stream_windowed" -> ((s, dir) => {
       // batch/stream-parity plan: same function drives readStream in tests
       streaming.StreamOps.windowedEventStats(t(s, dir, "events"))
-        .select(col("win_start"), col("event_type"), col("n"),
+        .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n"),
           round(col("total_value"), 2).as("total_value"))
     }),
 
@@ -125,6 +126,59 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"))
+    }),
+
+    "p2_sentence_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .select(col("doc_id"), col("pos"), col("col").as("sentence"))
+    }),
+
+    "json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    }),
+
+    "p3_window_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      merge.Windows.splitTokens(d, "tokens", 32, 16)
+        .select(col("doc_id"), col("offset").as("off"), array_join(col("window"), " ").as("win"))
+    }),
+
+    "a1_window_merge" -> ((s, dir) => {
+      // split into overlapping windows then merge back: the invariant the
+      // reference's window manager maintains (manager.py:213-303)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val windows = merge.Windows.splitTokens(d, "tokens", 32, 16)
+        .select(col("doc_id"), col("offset"), col("window"))
+      merge.Windows.mergeWindows(windows, "doc_id")
+        .join(d.withColumnRenamed("tokens", "orig"), "doc_id")
+        .select(col("doc_id"), (col("tokens") === col("orig")).as("ok"))
+    }),
+
+    "a3_micro_prf" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("pred", col("event_type") === "click")
+        .withColumn("gold", col("value") > 100.0)
+      e.agg(
+        sum(when(col("pred") && col("gold"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("gold"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("gold"), 1L).otherwise(0L)).as("fn"))
+        .withColumn("precision", round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 4))
+        .withColumn("recall", round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 4))
+    }),
+
+    "a4_recall_at_k" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("cands", array(lead(col("lang"), 1).over(w),
+          lead(col("lang"), 2).over(w), lead(col("lang"), 3).over(w)))
+        .filter(!array_contains(transform(col("cands"), c => c.isNull), true))
+        .agg(round(avg(array_contains(col("cands"), col("lang")).cast("int")), 4).as("recall_at_3"))
     }),
 
     "p5_char_windows" -> ((s, dir) => {
@@ -314,6 +368,46 @@ object SparkEntry {
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "p2_sentence_split" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text, '. '), 1) - 1 AS pos,
+        |  unnest(string_split(text, '. ')) AS sentence
+        |FROM documents""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events""",
+
+    "p3_window_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |starts AS (
+        |  SELECT doc_id, n, unnest(range(0, greatest(n - 32, 0) + 1, 16)) AS off FROM d
+        |  UNION SELECT doc_id, n, greatest(n - 32, 0) AS off FROM d)
+        |SELECT s.doc_id, s.off,
+        |  array_to_string(d.toks[s.off + 1 : s.off + 32], ' ') AS win
+        |FROM starts s JOIN d ON d.doc_id = s.doc_id""".stripMargin,
+
+    "a1_window_merge" ->
+      "SELECT doc_id, true AS ok FROM documents",
+
+    "a3_micro_prf" ->
+      """WITH e AS (SELECT event_type = 'click' AS pred, value > 100.0 AS gold FROM events),
+        |c AS (SELECT
+        |  sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS tp,
+        |  sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS fp,
+        |  sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS fn FROM e)
+        |SELECT tp, fp, fn,
+        |  round(tp * 1.0 / greatest(tp + fp, 1), 4) AS precision,
+        |  round(tp * 1.0 / greatest(tp + fn, 1), 4) AS recall FROM c""".stripMargin,
+
+    "a4_recall_at_k" ->
+      """WITH c AS (SELECT lang,
+        |    lead(lang, 1) OVER (ORDER BY doc_id) AS l1,
+        |    lead(lang, 2) OVER (ORDER BY doc_id) AS l2,
+        |    lead(lang, 3) OVER (ORDER BY doc_id) AS l3 FROM documents)
+        |SELECT round(avg(CASE WHEN lang IN (l1, l2, l3) THEN 1 ELSE 0 END), 4) AS recall_at_3
+        |FROM c WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL""".stripMargin,
 
     "p5_char_windows" ->
       """SELECT doc_id, off, substring(text, off + 1, 128) AS win

@@ -100,61 +100,78 @@ object Blocking {
     val lshKeys = features.select(
       explode(minhash_band_keys(
         col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
-      col("url"), col("mention"), col("sig"))
+      col("url"), col("mention"))
 
     val mentionKeys = features.select(
       explode(token_ngram_hashes(
         filter(split(col("mention"), " "), t => length(t) >= cfg.minMentionTokenLen),
         1, cfg.seed ^ 0x6d656e74L)).as("key"),
-      col("url"), col("mention"), col("sig"))
+      col("url"), col("mention"))
 
     lshKeys.unionByName(mentionKeys)
   }
 
   /**
-   * Candidate pairs from blocks, deduped across keys (`url_a < url_b`),
-   * carrying both sides' scorer payloads so the scorer needs no further
-   * joins. Returns (url_a, url_b, mention_a, mention_b, sig_a, sig_b).
+   * Candidate pairs from blocks, deduped across keys: THIN (url_a, url_b)
+   * rows only. Payloads deliberately do NOT flow through pair generation:
+   * a document appears under ~b+|mention| keys, and every shared key can
+   * re-emit a pair, so the pre-dedup stream is the largest dataset in the
+   * whole pipeline — carrying signatures through it multiplies the shuffle
+   * by the payload width (measured 4-5x wall-clock at 20k docs). Features
+   * are joined back once per side AFTER dedup (`attachFeatures`), where the
+   * feature table is broadcastable at test scale and an ordinary shuffle
+   * join at web scale.
    */
   def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
 
-    val payload = struct($"url", $"mention", $"sig").as("p")
+    val payload = struct($"url", $"mention").as("p")
 
-    // one aggregation computes block size; AQE splits any residual skew
-    val sized = blocks
-      .groupBy($"key")
-      .agg(collect_list(payload).as("members"), count(lit(1)).as("n"))
+    // Block sizes via an unordered window over the key partitioning: ONE
+    // shuffle of the blocks table, shared by both branches below. No
+    // collect_list of unbounded blocks ever happens — a 10^7-member
+    // boilerplate block flows through the window sort (spill-safe) and is
+    // either neighbor-paired or dropped, never materialized in one task.
+    val wCount = org.apache.spark.sql.expressions.Window.partitionBy($"key")
+    val withN = blocks.select($"key", payload)
+      .withColumn("n", count(lit(1)).over(wCount))
 
-    val small = sized.filter($"n".between(2, cfg.maxBlock))
-    val hot = sized.filter($"n" > cfg.maxBlock && $"n" <= cfg.purgeLimit)
-
-    // full C(n,2) pairs inside small blocks via a sorted higher-order cross
-    val smallPairs = small
+    // small blocks: aggregate (bounded by maxBlock) and emit all C(n,2)
+    val smallPairs = withN
+      .filter($"n".between(2, cfg.maxBlock))
+      .groupBy($"key").agg(collect_list($"p").as("members"))
       .select(explode(pairCombos($"members")).as("pr"))
       .select($"pr._1".as("a"), $"pr._2".as("b"))
 
-    // hot blocks: re-explode and sorted-neighborhood by mention sort key
-    val w = org.apache.spark.sql.expressions.Window
+    // hot blocks: sorted-neighborhood — ALL ±w neighbors from one window
+    // sort (a single array of leads, not w separate window plans)
+    val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy($"key").orderBy($"p.mention", $"p.url")
-    val hotExploded = hot.select($"key", explode($"members").as("p"))
-    val hotPairs = (1 to cfg.snWindow).map { d =>
-      hotExploded
-        .withColumn("b", lead($"p", d).over(w))
-        .filter($"b".isNotNull)
-        .select($"p".as("a"), $"b")
-    }.reduce(_ unionByName _)
+    val leads = array((1 to cfg.snWindow).map(d => lead($"p", d).over(wOrd)): _*)
+    val hotPairs = withN
+      .filter($"n" > cfg.maxBlock && $"n" <= cfg.purgeLimit)
+      .select($"p".as("a"), leads.as("bs"))
+      .select($"a", explode($"bs").as("b"))
+      .filter($"b".isNotNull)
 
     smallPairs.unionByName(hotPairs)
       .select(
-        when($"a.url" < $"b.url", $"a").otherwise($"b").as("x"),
-        when($"a.url" < $"b.url", $"b").otherwise($"a").as("y"))
-      .select(
-        $"x.url".as("url_a"), $"y.url".as("url_b"),
-        $"x.mention".as("mention_a"), $"y.mention".as("mention_b"),
-        $"x.sig".as("sig_a"), $"y.sig".as("sig_b"))
+        least($"a.url", $"b.url").as("url_a"),
+        greatest($"a.url", $"b.url").as("url_b"))
       .dropDuplicates("url_a", "url_b") // A2 analog: dedup multiply-blocked pairs
+  }
+
+  /**
+   * Attach both sides' scorer payloads to thin candidate pairs (one join
+   * per side; Catalyst broadcasts the feature table when it fits).
+   */
+  def attachFeatures(pairs: DataFrame, features: DataFrame): DataFrame = {
+    val fa = features.select(col("url").as("url_a"),
+      col("mention").as("mention_a"), col("sig").as("sig_a"))
+    val fb = features.select(col("url").as("url_b"),
+      col("mention").as("mention_b"), col("sig").as("sig_b"))
+    pairs.join(fa, "url_a").join(fb, "url_b")
   }
 
   /** members ARRAY<STRUCT> -> ARRAY<STRUCT<_1,_2>> of all unordered pairs. */

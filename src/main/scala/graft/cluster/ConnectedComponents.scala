@@ -48,11 +48,13 @@ object ConnectedComponents {
 
     if (e.isEmpty) return e.select($"u".as("url"), $"v".as("cluster_id"))
 
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var converged = false
     var iter = 0
     var lastSig: (Long, Long) = (-1L, -1L)
 
     while (!converged && iter < maxIterations) {
+      val iterT0 = System.nanoTime()
       // ---- large-star: for every u, m = min(N(u) ∪ {u});
       //      emit (v, m) for every neighbor v > u
       val sym = e.select($"u", $"v").unionAll(e.select($"v".as("u"), $"u".as("v")))
@@ -82,6 +84,7 @@ object ConnectedComponents {
           coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("s"))
         .as[(Long, Long)].first()
       converged = sig == lastSig
+      if (verbose) println(f"[cc] iter=$iter edges=${sig._1} sec=${(System.nanoTime() - iterT0) / 1e9}%.2f converged=$converged")
       lastSig = sig
       e = next
       iter += 1

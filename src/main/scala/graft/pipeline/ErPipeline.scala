@@ -37,7 +37,7 @@ object ErPipeline {
     val feats = Blocking.features(pages, cfg.blocking)
     val blocks = Blocking.blockKeys(feats, cfg.blocking)
     val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
-    val edges = PairScorer.score(pairs, cfg.scorer)
+    val edges = PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
     ConnectedComponents.assignAll(pages.toDF().select("url"), edges)
   }
 
@@ -62,7 +62,7 @@ object ErPipeline {
     Lineage.writeCounters(s"$workDir/pairs", "pairs", pairs)
 
     val edges = Checkpoints.stage(spark, s"$workDir/edges", "edges", fp) {
-      PairScorer.score(pairs, cfg.scorer)
+      PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
     }
     Lineage.writeCounters(s"$workDir/edges", "edges", edges)
 

@@ -24,7 +24,10 @@ object StreamOps {
   def windowedEventStats(events: DataFrame, tsCol: String = "ts",
                          windowLen: String = "5 minutes", slide: String = "5 minutes",
                          watermark: String = "10 minutes"): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    // parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+    // event-time watermarks require LTZ — cast is a no-op under UTC session tz
+    val cast = events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val in = if (cast.isStreaming) cast.withWatermark(tsCol, watermark) else cast
     in.groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
@@ -37,10 +40,11 @@ object StreamOps {
    */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
-    if (events.isStreaming)
-      events.withWatermark(tsCol, watermark)
+    val cast = events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    if (cast.isStreaming)
+      cast.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
-    else events.dropDuplicates(keyCols)
+    else cast.dropDuplicates(keyCols)
   }
 
   /**
@@ -50,7 +54,8 @@ object StreamOps {
    */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val cast = events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val in = if (cast.isStreaming) cast.withWatermark(tsCol, watermark) else cast
     in.groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("session_window.start").as("session_start"),

@@ -1,0 +1,60 @@
+package graft.cluster
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Brute-force union-find oracle. */
+  private def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to canonical min representative
+    (0 until n).map(i => i -> find(i)).toMap
+  }
+
+  test("matches union-find on random graphs (property, seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(100)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n), rnd.nextInt(n))).filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+
+      val edgeDf = edges.map { case (a, b) => (f"n$a%04d", f"n$b%04d") }
+        .toDF("url_a", "url_b")
+      val got = ConnectedComponents.run(edgeDf)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+      // compare components as partitions over nodes that appear in edges
+      val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      for (node <- nodesInEdges) {
+        val want = f"n${expected(node)}%04d"
+        val gotC = got(f"n$node%04d")
+        assert(gotC == want, s"trial $trial node $node: got $gotC want $want")
+      }
+    }
+  }
+
+  test("empty edges, singletons via assignAll") {
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c").toDF("url")
+    val edges = spark.emptyDataset[(String, String)].toDF("url_a", "url_b")
+    val out = ConnectedComponents.assignAll(nodes, edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "b", "c" -> "c"))
+  }
+
+  test("single chain collapses to min") {
+    import spark.implicits._
+    val edges = (1 until 20).map(i => (f"x$i%03d", f"x${i + 1}%03d")).toDF("url_a", "url_b")
+    val out = ConnectedComponents.run(edges).collect()
+    assert(out.map(_.getString(1)).distinct.toSeq == Seq("x001"))
+    assert(out.length == 20)
+  }
+}

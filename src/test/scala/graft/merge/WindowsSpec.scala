@@ -1,0 +1,59 @@
+package graft.merge
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+
+  /** Reference semantics oracle (window_based_splitter.py:34-66). */
+  private def referenceStarts(n: Int, size: Int, stride: Int): Seq[Int] = {
+    if (n <= size) Seq(0)
+    else {
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i + size <= n) { starts += i; i += stride }
+      if (starts.last + size < n) starts += n - size // right-aligned last
+      starts.toSeq.distinct
+    }
+  }
+
+  test("window starts match reference right-aligned semantics (property)") {
+    import spark.implicits._
+    val cases = for {
+      n <- Seq(1, 5, 31, 32, 33, 47, 48, 64, 100, 127)
+      (size, stride) <- Seq((32, 16), (32, 32), (8, 4), (16, 8))
+    } yield (n, size, stride)
+    for ((n, size, stride) <- cases) {
+      val toks = (0 until n).map(i => s"t$i")
+      val df = Seq((1L, toks)).toDF("doc_id", "tokens")
+      val got = Windows.splitTokens(df, "tokens", size, stride)
+        .select("offset").collect().map(_.getInt(0)).sorted.toSeq
+      val want = referenceStarts(n, size, stride).sorted
+      assert(got == want, s"n=$n size=$size stride=$stride got=$got want=$want")
+    }
+  }
+
+  test("split ∘ merge == identity (column fold and typed Aggregator)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val docs = Seq.tabulate(20) { i =>
+      val n = 1 + rnd.nextInt(100)
+      (i.toLong, (0 until n).map(j => s"w${i}_$j"))
+    }
+    val df = docs.toDF("doc_id", "tokens")
+    val windows = Windows.splitTokens(df, "tokens", 16, 8)
+
+    val merged = Windows.mergeWindows(windows.select("doc_id", "offset", "window"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, toks) <- docs) assert(merged(id) == toks, s"column fold doc $id")
+
+    val typed = windows
+      .select(col("doc_id"), struct(col("offset"), col("window")).as("w"))
+      .as[(Long, DocMergeAggregator.WindowRow)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(DocMergeAggregator.mergeTokens.toColumn)
+      .collect().toMap
+    for ((id, toks) <- docs) assert(typed(id) == toks, s"typed aggregator doc $id")
+  }
+}

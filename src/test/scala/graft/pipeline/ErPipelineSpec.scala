@@ -49,7 +49,8 @@ class ErPipelineSpec extends SparkSpec {
   test("scorer: expression path == typed mapPartitions path") {
     import org.apache.spark.sql.functions._
     val feats = Blocking.features(pages, Blocking.Config())
-    val pairs = Blocking.candidatePairs(Blocking.blockKeys(feats), Blocking.Config()).cache()
+    val pairs = Blocking.attachFeatures(
+      Blocking.candidatePairs(Blocking.blockKeys(feats), Blocking.Config()), feats).cache()
     val viaExpr = PairScorer.score(pairs)
     import spark.implicits._
     val viaTyped = PairScorer.scoreTyped(pairs.as[PairScorer.PairRow])

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.block.Blocking
+import graft.ingest.CorpusGen
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-shape assertions — the 100 TB guardrails (builder prompt: "push down
+ * and prune", "broadcast small dims", "codegen-friendly"). These fail if a
+ * refactor silently de-optimizes the physical plan.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("feature extraction never reads the html column (column pruning)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    CorpusGen.pages(spark, 200L, seed = 42L, partitions = 2)
+      .write.mode("overwrite").parquet(tmp)
+    val pages = spark.read.parquet(tmp).as[graft.schema.Page]
+    val plan = formatted(Blocking.features(pages, Blocking.Config(dfStopRatio = 1.0)))
+    val scanSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanSchema.contains("html"), s"html must be pruned from scan: $scanSchema")
+    assert(scanSchema.contains("text"), s"text must be read: $scanSchema")
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("lang")),
+      s"lang filter must be pushed:\n$plan")
+  }
+
+  test("small dimension join is broadcast") {
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val joined = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("custom expressions stay inside WholeStageCodegen") {
+    import graft.functions.GraftFunctions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(jaro_winkler(col("text"), col("source")).as("jw"),
+        rolling_fingerprint(col("text")).as("fp"))
+    df.collect() // force codegen
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen'd operators carry the "*(stageId)" prefix
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"),
+      s"expected codegen'd projection:\n$plan")
+  }
+
+  test("scorer is narrow and feature attach joins are broadcast at small scale") {
+    import spark.implicits._
+    val pages = CorpusGen.pages(spark, 300L, seed = 42L, partitions = 2).cache()
+    val feats = Blocking.features(pages, Blocking.Config())
+    val pairs = Blocking.candidatePairs(Blocking.blockKeys(feats), Blocking.Config())
+    val withPayload = Blocking.attachFeatures(pairs, feats)
+    val edges = graft.score.PairScorer.score(withPayload)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      formatted(df).linesIterator.count(l => l.trim.startsWith("Exchange") || l.contains(" Exchange"))
+    // scoring itself adds no exchange beyond the payload joins
+    assert(exchanges(edges) == exchanges(withPayload),
+      "PairScorer.score must be narrow (no extra shuffle)")
+    // the small feature table rides a broadcast join, not a shuffle join
+    edges.collect()
+    assert(edges.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "attachFeatures should broadcast the small feature side")
+    pages.unpersist()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Source-format parity (SURVEY.md §2.1): the reference's KB loaders
+ * (`/root/reference/relik/retriever/indexers/document.py:312-380`: jsonl +
+ * header-driven tsv/csv with metadata columns) and raw-text batch source
+ * (`cli/cli.py:131-135`) as Spark readers.
+ */
+class SourcesSpec extends SparkSpec {
+
+  test("S2: tsv KB scan with header-driven metadata columns") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kb").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "kb.tsv"),
+      "id\ttext\tcategory\tpopularity\n" +
+        "1\tAlbert Einstein\tperson\t0.9\n" +
+        "2\tBerlin\tplace\t0.7\n")
+    val kb = spark.read
+      .option("sep", "\t").option("header", "true")
+      .csv(s"$tmp/kb.tsv")
+      // header-driven metadata: every non-(id,text) column goes into the map
+      .withColumn("metadata", map_from_arrays(
+        array(lit("category"), lit("popularity")),
+        array(col("category"), col("popularity"))))
+      .select(col("id").cast("long"), col("text"), col("metadata"))
+    val rows = kb.collect()
+    assert(rows.length == 2)
+    val m = rows.find(_.getLong(0) == 1L).get.getMap[String, String](2)
+    assert(m("category") == "person" && m("popularity") == "0.9")
+  }
+
+  test("S2: jsonl KB scan (id defaults analog: hash of text when absent)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kb2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "kb.jsonl"),
+      """{"text": "Albert Einstein", "metadata": {"type": "person"}}""" + "\n" +
+        """{"id": 7, "text": "Berlin", "metadata": {}}""" + "\n")
+    val kb = spark.read.json(s"$tmp/kb.jsonl")
+      // document.py:26 — missing id defaults to a deterministic hash of text
+      .withColumn("id", coalesce(col("id"), xxhash64(col("text"))))
+    val rows = kb.select("id", "text").collect()
+    assert(rows.length == 2)
+    assert(rows.exists(_.getLong(0) == 7L))
+    assert(rows.forall(!_.isNullAt(0)))
+  }
+
+  test("S7: raw-text batch source") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "in.txt"),
+      "first line\nsecond line\nthird line\n")
+    val df = spark.read.text(s"$tmp/in.txt")
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq("value"))
+  }
+
+  test("S5: embedding table sink/scan round-trip (tensor-file analog)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val vecs = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f, 0.4f)))
+      .toDF("doc_id", "vec")
+    vecs.write.mode("overwrite").parquet(s"$tmp/emb")
+    val back = spark.read.parquet(s"$tmp/emb")
+    assert(back.count() == 2)
+    assert(back.schema("vec").dataType.simpleString == "array<float>")
+  }
+}
