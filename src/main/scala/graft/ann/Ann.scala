@@ -93,12 +93,12 @@ object Ann {
       .agg(collect_list(struct(col("id"), col("vec"))).as("ms"), count(lit(1)).as("n"))
       .filter(col("n").between(2, cfg.maxBlock))
     val pairs = grouped
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          b => struct(a.as("_1"), b.as("_2"))))))
-        .as("pr"))
-      .select(col("pr._1.id").as("id_a"), col("pr._2.id").as("id_b"),
-        cosine_sim(col("pr._1.vec"), col("pr._2.vec")).as("cosine"))
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PairCombinations(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ms"))))
+        .as(Seq("x", "y")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine_sim(col("x.vec"), col("y.vec")).as("cosine"))
       .dropDuplicates("id_a", "id_b")
     // symmetrize, rank per query id
     val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))

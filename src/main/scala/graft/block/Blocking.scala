@@ -39,12 +39,29 @@ object Blocking {
       seed: Long = 42L,
       maxBlock: Int = 64,       // full-pairs cap
       purgeLimit: Int = 100000, // drop blocks bigger than this
-      snWindow: Int = 8,        // sorted-neighborhood width for hot blocks
+      snWindow: Int = 4,        // sorted-neighborhood width for hot blocks
       minMentionTokenLen: Int = 3,
       dfStopRatio: Double = 0.10, // drop tokens present in >10% of docs
       dfStopMax: Int = 100000,    // hard cap on the broadcast stop set
       minTf: Int = 2,             // MinHash only tokens repeated in-doc
       minTfKeep: Int = 8)         // fall back to all tokens below this
+
+  object Config {
+    /**
+     * Background-collision budget: expected junk candidate pairs from LSH ≈
+     * C(N,2) · bands · j_bg^rowsPerBand, where j_bg is the background
+     * (different-entity) Jaccard after DF-stop + TF filtering (~0.03-0.06
+     * on web text). The default (12×4) keeps junk ≈ 10-30 pairs/doc up to
+     * ~10^6 docs; beyond that the quadratic term takes over and r must
+     * grow. At 10^12 docs, r=8 pushes the per-pair collision rate to
+     * ~10^-10 per band — junk stays sub-linear — while per-pair recall at
+     * Jaccard 0.85 is 1-(1-0.85^8)^16 ≈ 0.96, and cluster-level recall
+     * stays ≈1 through the mention-key union + transitive closure.
+     */
+    val webScale: Config = Config(
+      minhashHashes = 128, bands = 16, rowsPerBand = 8,
+      maxBlock = 32, purgeLimit = 1000000, snWindow = 4)
+  }
 
   /**
    * Stage-1 features per page: normalized anchor mention (first extracted
@@ -138,11 +155,14 @@ object Blocking {
       .withColumn("n", count(lit(1)).over(wCount))
 
     // small blocks: aggregate (bounded by maxBlock) and emit all C(n,2)
+    // via the streaming PairCombinations generator (no nested-array blowup)
     val smallPairs = withN
       .filter($"n".between(2, cfg.maxBlock))
       .groupBy($"key").agg(collect_list($"p").as("members"))
-      .select(explode(pairCombos($"members")).as("pr"))
-      .select($"pr._1".as("a"), $"pr._2".as("b"))
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PairCombinations(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"members")))
+        .as(Seq("a", "b")))
 
     // hot blocks: sorted-neighborhood — ALL ±w neighbors from one window
     // sort (a single array of leads, not w separate window plans)
@@ -172,12 +192,6 @@ object Blocking {
     val fb = features.select(col("url").as("url_b"),
       col("mention").as("mention_b"), col("sig").as("sig_b"))
     pairs.join(fa, "url_a").join(fb, "url_b")
-  }
-
-  /** members ARRAY<STRUCT> -> ARRAY<STRUCT<_1,_2>> of all unordered pairs. */
-  private def pairCombos(members: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    flatten(transform(members, (a, i) =>
-      transform(slice(members, i + 2, size(members)), b => struct(a.as("_1"), b.as("_2")))))
   }
 
   /** Block-size histogram for lineage / skew monitoring (A5 analog). */

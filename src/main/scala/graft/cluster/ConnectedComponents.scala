@@ -52,6 +52,8 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     var lastSig: (Long, Long) = (-1L, -1L)
+    var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] =
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e)
 
     while (!converged && iter < maxIterations) {
       val iterT0 = System.nanoTime()
@@ -77,13 +79,20 @@ object ConnectedComponents {
         .select($"nu".as("u"), $"nv".as("v"))
         .distinct()
 
-      val next = small.localCheckpoint(eager = true)
+      // lazy checkpoint: the checksum aggregate below materializes it, so
+      // each iteration is ONE job instead of checkpoint-then-aggregate
+      val next = small.localCheckpoint(eager = false)
       // xor-fold checksum: order-independent, overflow-free under ANSI mode
       val sig = next
         .agg(count(lit(1)).as("c"),
           coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("s"))
         .as[(Long, Long)].first()
       converged = sig == lastSig
+      // `next` is materialized by the checksum job above; the previous
+      // round's checkpoint blocks are dead — free them now instead of
+      // waiting for the async ContextCleaner (GC-stall avoidance)
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(next)
       if (verbose) println(f"[cc] iter=$iter edges=${sig._1} sec=${(System.nanoTime() - iterT0) / 1e9}%.2f converged=$converged")
       lastSig = sig
       e = next

@@ -156,13 +156,12 @@ object Dedup {
       .agg(collect_list(payload).as("ms"), count(lit(1)).as("n"))
       .filter(col("n").between(2, cap))
     grouped
-      .select(explode(combos(col("ms"))).as("pr"))
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PairCombinations(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ms"))))
+        .as(Seq("x", "y")))
       .select(
-        when(col("pr._1.id") < col("pr._2.id"), col("pr._1")).otherwise(col("pr._2")).as("a"),
-        when(col("pr._1.id") < col("pr._2.id"), col("pr._2")).otherwise(col("pr._1")).as("b"))
+        when(col("x.id") < col("y.id"), col("x")).otherwise(col("y")).as("a"),
+        when(col("x.id") < col("y.id"), col("y")).otherwise(col("x")).as("b"))
   }
-
-  private def combos(members: Column): Column =
-    flatten(transform(members, (a, i) =>
-      transform(slice(members, i + 2, size(members)), b => struct(a.as("_1"), b.as("_2")))))
 }

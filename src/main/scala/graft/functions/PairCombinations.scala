@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * `PairCombinations(members ARRAY<T>)` — a streaming UDTF (Catalyst
+ * Generator, SURVEY.md §2.11) emitting one row per unordered pair
+ * {members[i], members[j]}, i < j, as columns (a, b).
+ *
+ * Replaces the higher-order-function formulation
+ * `flatten(transform(m, (a,i) -> transform(slice(m, i+2, n), b -> struct(a,b))))`,
+ * which materializes the full C(n,2) nested array per input row before
+ * exploding — an allocation storm that turns block pair-generation
+ * GC-bound (measured: the HOF path stopped scaling past ~8 cores).
+ * The generator yields pairs lazily; peak memory per input row is O(n).
+ */
+case class PairCombinations(child: Expression)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+
+  private lazy val elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", elementType, nullable = true),
+    StructField("b", elementType, nullable = true)))
+
+  override def collectionType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"PairCombinations requires ARRAY, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) Iterator.empty
+    else {
+      val n = arr.numElements()
+      val et = elementType
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = n >= 2 && i < n - 1
+        override def next(): InternalRow = {
+          val row = InternalRow(arr.get(i, et), arr.get(j, et))
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCombinations =
+    copy(child = newChild)
+}

@@ -195,8 +195,11 @@ object CorpusGen {
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Full html page for (seed, docIdx); text := TextExtract of it. */
-  def genHtml(seed: Long, docIdx: Long, nEntities: Long): String = {
+  /** Full html page for (seed, docIdx); text := TextExtract of it.
+    * `paragraphs`/`paraWords` scale per-doc text volume (bench realism);
+    * defaults match the frozen golden fixtures. */
+  def genHtml(seed: Long, docIdx: Long, nEntities: Long,
+              paragraphs: Int = 2, paraWords: Int = 40): String = {
     val entityId = docIdx % nEntities
     val em = entityMeta(seed, entityId)
     val mention = surfaceForm(em, seed, docIdx)
@@ -206,8 +209,9 @@ object CorpusGen {
     val contentIdx =
       if (docIdx >= nEntities && (h & 63L) == 0L) docIdx - nEntities else docIdx
     val m2 = if (contentIdx == docIdx) mention else surfaceForm(em, seed, contentIdx)
-    val p1 = paragraph(em, seed, contentIdx, 1, 40)
-    val p2 = paragraph(em, seed, contentIdx, 2, 40)
+    val paras = (1 to paragraphs)
+      .map(p => paragraph(em, seed, contentIdx, p, paraWords))
+      .map(p => s"<p>$p</p>").mkString("\n")
     s"""<!DOCTYPE html><html><head>
        |<title>${escapeHtml(m2)}</title>
        |<style>body { font: 14px sans-serif; }</style>
@@ -217,18 +221,19 @@ object CorpusGen {
        |<!-- boilerplate nav -->
        |<div>Profile of ${escapeHtml(m2)} &amp; associates.</div>
        |<p>Born in ${em.birthYear} in ${cap(em.city)}. Works as a ${em.profession}.</p>
-       |<p>$p1</p>
-       |<p>$p2</p>
+       |$paras
        |<div>&copy; crawl ${2024}</div>
        |</body></html>""".stripMargin
   }
 
-  def genPage(seed: Long, docIdx: Long, nEntities: Long): Page = {
+  def genPage(seed: Long, docIdx: Long, nEntities: Long,
+              paragraphs: Int = 2, paraWords: Int = 40): Page = {
     val entityId = docIdx % nEntities
     val h = mix64(seed ^ mix64(docIdx + 7777))
     val domain = DOMAINS(zipfPick(unit(h)))
     val url = s"https://$domain/p/$entityId/$docIdx"
-    val html = genHtml(seed, docIdx, nEntities).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val html = genHtml(seed, docIdx, nEntities, paragraphs, paraWords)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val text = TextExtract.extract(html)
     val ts = new Timestamp(1704067200000L + (mix64(h + 1).abs % (365L * 86400)) * 1000L)
     val lang = if ((mix64(h + 2) & 15L) == 0L) "de" else "en"
@@ -237,10 +242,12 @@ object CorpusGen {
 
   /** Distributed pages table: nDocs rows, nDocs/avgClusterSize entities. */
   def pages(spark: SparkSession, nDocs: Long, seed: Long = 42L,
-            avgClusterSize: Int = 5, partitions: Int = 32): Dataset[Page] = {
+            avgClusterSize: Int = 5, partitions: Int = 32,
+            paragraphs: Int = 2, paraWords: Int = 40): Dataset[Page] = {
     import spark.implicits._
     val nEntities = math.max(1L, nDocs / avgClusterSize)
-    spark.range(0L, nDocs, 1L, partitions).map(i => genPage(seed, i, nEntities))
+    spark.range(0L, nDocs, 1L, partitions)
+      .map(i => genPage(seed, i, nEntities, paragraphs, paraWords))
   }
 
   /** Ground-truth entity per url (same pure functions as `pages`). */

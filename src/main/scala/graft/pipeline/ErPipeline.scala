@@ -32,9 +32,13 @@ object ErPipeline {
         s"tau=${scorer.threshold}"
   }
 
-  /** pages → (url, cluster_id), fully lazy (single job when acted on). */
+  /** pages → (url, cluster_id). `feats` is consumed twice (block keys and
+    * scorer payload) and its computation — extraction, normalization,
+    * tokenization, MinHash over every page — dominates map-side cost, so it
+    * is persisted for the run instead of recomputed per consumer. */
   def run(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
     val feats = Blocking.features(pages, cfg.blocking)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = Blocking.blockKeys(feats, cfg.blocking)
     val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
     val edges = PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)

@@ -12,10 +12,14 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val corpusDir = if (args.length > 1) args(1) else "/tmp/graft-bench-corpus-20000"
+    val shuffleParts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("GRAFT_AQE_COALESCE", "true"))
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

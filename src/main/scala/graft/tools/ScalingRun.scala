@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.CorpusGen
+import graft.pipeline.ErPipeline
+
+/**
+ * One isolated scaling measurement: run the ER pipeline over an on-disk
+ * corpus at `local[cores]`, print ONE line `cores sec` to stdout.
+ *
+ * Spawned as a fresh `java` child per core count (see Bench): measuring
+ * inside an sbt-forked JVM proved wildly unstable (5× wall-clock swings from
+ * launcher contention), while standalone JVMs repeat within ±3%. A fresh
+ * JVM per data point also removes cross-measurement pollution (JIT state,
+ * heap fragmentation, lingering block-manager entries).
+ */
+object ScalingRun {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args(0)
+    val cores = args(1).toInt
+    val runs = if (args.length > 2) args(2).toInt else 1
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // JIT/codegen warm-up (excluded)
+    ErPipeline.run(CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)).count()
+
+    def timed(): Double = {
+      val t0 = System.nanoTime()
+      ErPipeline.run(spark.read.parquet(corpusDir).as[graft.schema.Page]).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = (1 to runs).map(_ => timed()).min
+    println(f"SCALING $cores $best%.2f")
+    spark.stop()
+  }
+}

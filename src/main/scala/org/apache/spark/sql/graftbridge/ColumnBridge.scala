@@ -14,4 +14,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * The block-manager-resident RDD behind a localCheckpoint'ed Dataset.
+   * Iterative algorithms (graft.cluster.ConnectedComponents) unpersist the
+   * previous round's blocks explicitly — waiting for the async
+   * ContextCleaner lets checkpoint blocks pile up across iterations and
+   * shows up as irregular multi-second GC stalls.
+   */
+  def checkpointedRdd(df: org.apache.spark.sql.Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
