@@ -29,6 +29,16 @@ for q, sql in sorted(oracle.items()):
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         print(f"{q:28s} SCHEMA got={gc} want={wc}"); fails += 1; continue
+    # the driver hashes MATERIALIZED values, so an int column on one side vs
+    # float on the other (e.g. DuckDB HUGEINT -> float64) hash-mismatches
+    # even when numerically identical — treat dtype-kind divergence as FAIL
+    kind_bad = [c for c in gc
+                if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}]
+    if kind_bad:
+        print(f"{q:28s} DTYPE int-vs-float cols={kind_bad} "
+              f"got={[str(got[c].dtype) for c in kind_bad]} "
+              f"want={[str(want[c].dtype) for c in kind_bad]}")
+        fails += 1; continue
     g = got[gc].sort_values(by=gc).reset_index(drop=True)
     w = want[wc].sort_values(by=wc).reset_index(drop=True)
     if len(g) != len(w):

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -15,6 +15,22 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ exact clones at doc_id + 1,000,000 — the planted-duplicate
+    * corpus behind the oracled dedup/ER queries: an exact dup is found with
+    * probability 1 by every near-dup operator here (identical features ⇒
+    * identical blocking keys), so the clone pair set is DuckDB-predictable. */
+  private def docsWithClones(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  /** Canonical numeric pair order (dedup ids travel as strings). */
+  private def numPair(df: DataFrame, extra: Column*): DataFrame = {
+    val a = col("id_a").cast("bigint")
+    val b = col("id_b").cast("bigint")
+    df.select((Seq(least(a, b).as("id_a"), greatest(a, b).as("id_b")) ++ extra): _*)
+  }
 
   /** Flagship: the ER pipeline end-to-end on a 500-page synthetic corpus. */
   def entry(spark: SparkSession): DataFrame = {
@@ -267,29 +283,61 @@ object SparkEntry {
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
+      // completeness gate: with the sparse-bucket top-up every vector is a
+      // query and returns exactly k ranked neighbors (reference contract:
+      // inmemory.py:294-296) — n_queries is independently DuckDB-checkable
       ann.Ann.lshTopK(t(s, dir, "embeddings"), 3,
           ann.Ann.LshConfig(bands = 16, bits = 6))
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("c")) === 3 && max(col("c")) === 3).as("k_complete"))
     }),
 
     // ------------------------------------------------------- dedup family
     "dedup_minhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
-      dedup.Dedup.minhashNearDupGroups(d.unionByName(dup), "doc_id", "text")
-        .filter(col("doc_id") =!= col("group_id"))
+      // verifyJaccard = 1.0 ⇒ emitted pairs have EQUAL normalized token
+      // sets, and equal sets always share every band key (identical
+      // signatures) ⇒ the pair set is exactly DuckDB's token-set-equality
+      // self-join — a bit-exact oracle for shingle→minhash→band→pair→verify
+      numPair(dedup.Dedup.minhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
+        dedup.Dedup.MinHashConfig(verifyJaccard = 1.0, maxBlock = 4096)))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
-      dedup.Dedup.simhashNearDupPairs(d.unionByName(dup), "doc_id", "text")
+      // clone-pair recall gate: identical text ⇒ identical fingerprint ⇒
+      // guaranteed same band keys ⇒ every planted clone pair MUST surface
+      // at hamming 0 (banding radius 6 is property-tested in DedupSpec)
+      numPair(dedup.Dedup.simhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text"),
+          col("hamming"))
+        .filter(col("id_b") === col("id_a") + 1000000)
     }),
 
     "embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dup = e.withColumn("vec_id", col("vec_id") + 1000000)
-      dedup.Dedup.embeddingNearDupPairs(e.unionByName(dup), "vec_id", "embedding")
+      numPair(dedup.Dedup.embeddingNearDupPairs(e.unionByName(dup), "vec_id", "embedding"),
+          round(col("cosine"), 4).as("cosine"))
+        .filter(col("id_b") === col("id_a") + 1000000)
+    }),
+
+    "er_clone_pairs" -> ((s, dir) => {
+      // end-to-end north-rule pipeline (blocking → scoring → clustering) on
+      // documents ∪ exact clones: every clone pair must land in one cluster
+      // (identical features ⇒ blocked together, score 1.0 ≥ τ, transitive
+      // closure keeps them together) — an end-to-end recall oracle
+      val pages = docsWithClones(s, dir).select(
+        col("doc_id").cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        col("text").cast("binary").as("html"),
+        col("text"),
+        lit("en").as("lang"))
+        .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
+      val clusters = pipeline.ErPipeline.run(pages)
+      clusters.as("a").join(clusters.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+          col("b.url").cast("bigint") === col("a.url").cast("bigint") + 1000000)
+        .select(col("a.url").cast("bigint").as("id_a"),
+          col("b.url").cast("bigint").as("id_b"))
     }),
 
     // ----------------------------------------------- transitive clustering
@@ -328,8 +376,8 @@ object SparkEntry {
 
     "j_semi_anti" ->
       """SELECT c_nationkey,
-        |  coalesce(sum(CASE WHEN has_order THEN 1 ELSE 0 END), 0) AS n_with,
-        |  coalesce(sum(CASE WHEN has_order THEN 0 ELSE 1 END), 0) AS n_without
+        |  coalesce(sum(CASE WHEN has_order THEN 1 ELSE 0 END), 0)::BIGINT AS n_with,
+        |  coalesce(sum(CASE WHEN has_order THEN 0 ELSE 1 END), 0)::BIGINT AS n_without
         |FROM (SELECT c_nationkey, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order FROM customer)
         |GROUP BY c_nationkey""".stripMargin,
 
@@ -397,7 +445,7 @@ object SparkEntry {
         |  sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS tp,
         |  sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS fp,
         |  sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS fn FROM e)
-        |SELECT tp, fp, fn,
+        |SELECT tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
         |  round(tp * 1.0 / greatest(tp + fp, 1), 4) AS precision,
         |  round(tp * 1.0 / greatest(tp + fn, 1), 4) AS recall FROM c""".stripMargin,
 
@@ -460,7 +508,7 @@ object SparkEntry {
         |       WHEN es = greatest(en, de, es, fr) THEN 'es'
         |       WHEN en = greatest(en, de, es, fr) THEN 'en'
         |       ELSE 'de' END AS lang_guess,
-        |  greatest(en, de, es, fr) AS lang_hits
+        |  greatest(en, de, es, fr)::BIGINT AS lang_hits
         |FROM h""".stripMargin,
 
     "token_counts" ->
@@ -486,6 +534,62 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b
         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 3""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |t AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(
+        |      trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')),
+        |      ' '))), ' ')) AS tok_fp
+        |  FROM all_docs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM t a JOIN t b ON a.tok_fp = b.tok_fp AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+        |FROM documents""".stripMargin,
+
+    "embedding_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
+        |FROM embeddings""".stripMargin,
+
+    "ann_lsh_topk" ->
+      "SELECT count(*) AS n_queries, true AS k_complete FROM embeddings",
+
+    "er_clone_pairs" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+
+    "text_fingerprints" ->
+      // FNV-1a over UTF-16 chars, replayed per character position with
+      // HUGEINT arithmetic mod 2^64 (h*prime ≤ 2^104 fits HUGEINT), mapped
+      // back to the signed 64-bit value Spark's LONG materializes
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |fr(doc_id, i, n, h) AS (
+        |  SELECT doc_id, 0, length(text), 14695981039346656037::HUGEINT FROM src
+        |  UNION ALL
+        |  SELECT fr.doc_id, i + 1, n,
+        |    (xor(h, unicode(substring(s.text, i + 1, 1))::HUGEINT)
+        |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM fr JOIN src s ON s.doc_id = fr.doc_id WHERE i < n),
+        |fm(doc_id, i, n, h) AS (
+        |  SELECT doc_id, 0, length(norm), 14695981039346656037::HUGEINT FROM src
+        |  UNION ALL
+        |  SELECT fm.doc_id, i + 1, n,
+        |    (xor(h, unicode(substring(s.norm, i + 1, 1))::HUGEINT)
+        |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM fm JOIN src s ON s.doc_id = fm.doc_id WHERE i < n)
+        |SELECT r.doc_id,
+        |  CASE WHEN r.h >= 9223372036854775808::HUGEINT
+        |       THEN (r.h - 18446744073709551616::HUGEINT)::BIGINT ELSE r.h::BIGINT END AS fp_raw,
+        |  CASE WHEN m.h >= 9223372036854775808::HUGEINT
+        |       THEN (m.h - 18446744073709551616::HUGEINT)::BIGINT ELSE m.h::BIGINT END AS fp_norm
+        |FROM (SELECT doc_id, h FROM fr WHERE i = n) r
+        |JOIN (SELECT doc_id, h FROM fm WHERE i = n) m USING (doc_id)""".stripMargin,
 
     "cc_components" ->
       """WITH RECURSIVE e AS (

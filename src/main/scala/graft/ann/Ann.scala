@@ -76,35 +76,50 @@ object Ann {
       .filter($"rank" <= k)
   }
 
-  case class LshConfig(bands: Int = 16, bits: Int = 10, seed: Long = 42L, maxBlock: Int = 2048)
+  case class LshConfig(bands: Int = 16, bits: Int = 10, seed: Long = 42L,
+                       maxBlock: Int = 2048, purgeLimit: Int = 1000000, snWindow: Int = 8)
 
   /**
-   * Approximate top-k: SRP-LSH candidate generation + exact re-rank.
+   * Approximate top-k: SRP-LSH candidate generation (thin bucket pairs via
+   * `Dedup.blockPairs` — canonical id order, skew policy, vectors joined
+   * back only for the surviving pairs) + exact cosine re-rank.
    * Works corpus-vs-corpus (every row is a query) without a cross join.
+   *
+   * Completeness: queries whose buckets yield fewer than k candidates are
+   * topped up with an exact brute-force pass (the reference always returns
+   * k results per query, `inmemory.py:294-296`) — the sparse tail is small
+   * by construction (every non-singleton bucket contributes), so the
+   * fallback's broadcast side stays tiny.
    */
   def lshTopK(corpus: DataFrame, k: Int, cfg: LshConfig = LshConfig(),
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
+        col(vecCol).cast("array<float>").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = v.select(
       explode(srp_band_keys(col("vec"), cfg.bands, cfg.bits, cfg.seed)).as("key"),
-      col("id"), col("vec"))
-    val grouped = blocks.groupBy(col("key"))
-      .agg(collect_list(struct(col("id"), col("vec"))).as("ms"), count(lit(1)).as("n"))
-      .filter(col("n").between(2, cfg.maxBlock))
-    val pairs = grouped
-      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.PairCombinations(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ms"))))
-        .as(Seq("x", "y")))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        cosine_sim(col("x.vec"), col("y.vec")).as("cosine"))
+      col("id"))
+    val thin = graft.dedup.Dedup.blockPairs(blocks, struct(col("id")), cfg.maxBlock,
+        cfg.purgeLimit, cfg.snWindow, p => p("id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val pairs = thin
+      .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine_sim(col("v_a"), col("v_b")).as("cosine"))
     // symmetrize, rank per query id
     val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
       .unionAll(pairs.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+
+    // top-up: query ids with < k ranked neighbors (or none at all) go exact
+    val full = ranked.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= k).select(col("query_id"))
+    val sparseQ = v.join(full.select(col("query_id").as("id")), Seq("id"), "left_anti")
+    val topUp = bruteForceTopK(v, sparseQ, k, idCol = "id", vecCol = "vec")
+    ranked.join(full, Seq("query_id"), "left_semi")
+      .unionByName(topUp.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank")))
   }
 }

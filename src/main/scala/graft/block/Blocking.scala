@@ -72,11 +72,19 @@ object Blocking {
    * The DF-stop pass matters at web scale: boilerplate/stopword tokens
    * appear in (nearly) every page, inflate every pair's Jaccard by a
    * constant, and force LSH into either low recall or quadratic junk
-   * blocks. Dropping tokens with df > `dfStopRatio` (one map-side-combined
-   * aggregation; the surviving stop set is tiny — stopwords + boilerplate —
-   * and broadcast as a literal) restores the Jaccard contrast. This is the
-   * Catalyst analog of the reference's special-symbols masking
+   * blocks. Dropping tokens with df > `dfStopRatio` restores the Jaccard
+   * contrast. This is the Catalyst analog of the reference's
+   * special-symbols masking
    * (`/root/reference/relik/reader/data/relik_reader_data.py:264-269`).
+   *
+   * Scale shape: ONE map-side-combined aggregation computes both the
+   * per-token document frequencies and the corpus size (a per-row sentinel
+   * token rides the same explode, so no separate `count()` scan), and the
+   * surviving stop set — provably ≤ avgTokensPerDoc / dfStopRatio entries
+   * regardless of corpus size — is folded to a single array row and
+   * broadcast-joined back. No `collect()` to the driver, no plan-embedded
+   * literal (a 100k-long `typedLit` serialized with every task was the
+   * round-1 shape).
    */
   def features(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
     val spark = pages.sparkSession
@@ -89,18 +97,26 @@ object Blocking {
       tf_filtered_hashes(toks, cfg.minTf, cfg.minTfKeep, cfg.seed).as("freqHashes"))
 
     val withStops = if (cfg.dfStopRatio < 1.0) {
-      val agg = raw.select(explode($"tokenHashes").as("t"))
+      // tokenHashes is sorted-distinct per doc, so counting occurrences of a
+      // hash counts documents; the sentinel (impossible output of mix64-seeded
+      // hashing in practice — collision would only add ±1 to the doc count)
+      // appears once per row, making df(sentinel) the corpus size
+      val sentinel = Long.MinValue
+      val dfs = raw
+        .select(explode(concat($"tokenHashes", array(lit(sentinel)))).as("t"))
         .groupBy($"t").agg(count(lit(1)).as("df"))
-      val nDocs = pages.count()
-      val common = agg
-        .filter($"df" > nDocs * cfg.dfStopRatio)
+      val nDocs = dfs.filter($"t" === sentinel).select($"df".as("nDocs"))
+      val stopArr = dfs
+        .crossJoin(broadcast(nDocs))
+        .filter($"t" =!= sentinel && $"df" > $"nDocs" * cfg.dfStopRatio)
         .orderBy($"df".desc)
         .limit(cfg.dfStopMax)
-        .select($"t").as[Long].collect().toSeq
-      if (common.isEmpty) raw
-      else raw
-        .withColumn("tokenHashes", array_except($"tokenHashes", typedLit(common)))
-        .withColumn("freqHashes", array_except($"freqHashes", typedLit(common)))
+        .agg(sort_array(collect_list($"t")).as("stops")) // one row, ≤ dfStopMax longs
+      raw
+        .crossJoin(broadcast(stopArr)) // BroadcastNestedLoopJoin of a 1-row build side
+        .withColumn("tokenHashes", array_except($"tokenHashes", $"stops"))
+        .withColumn("freqHashes", array_except($"freqHashes", $"stops"))
+        .drop("stops")
     } else raw
 
     withStops

@@ -98,6 +98,13 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    if (!converged)
+      // star-contraction halves component diameter per round, so 50 rounds
+      // covers diameters ~2^50; hitting this means pathological input, and
+      // silently returning would split components across cluster_ids
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIterations iterations " +
+        s"(edges=${lastSig._1}); raise maxIterations or check the edge set")
 
     // converged star edges point child -> root; roots map to themselves
     val assign = e.select(

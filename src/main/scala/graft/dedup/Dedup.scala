@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.cluster.ConnectedComponents
 import graft.functions.GraftFunctions._
@@ -18,6 +19,24 @@ import graft.functions.GraftFunctions._
  * (`/root/reference/relik/retriever/data/datasets.py:486-494`,
  * `dropDuplicates` analog F6 in SURVEY.md §2.3); the near-dup family is the
  * web-corpus extension.
+ *
+ * Pair generation follows the same scale rules as `Blocking.candidatePairs`:
+ *  - THIN pairs: only ids (plus 8-byte fingerprints where the payload IS the
+ *    verifier input) flow through pair generation; wide payloads (hash sets,
+ *    embedding vectors) are joined back AFTER pair dedup. Carrying them
+ *    through the pre-dedup stream measured 4-5× wall-clock (BASELINE.md).
+ *  - three-branch skew policy per block size n:
+ *      n ≤ maxBlock            all C(n,2) pairs (streamed, never nested)
+ *      maxBlock < n ≤ purge    sorted-neighborhood: each member pairs with
+ *                              its ±snWindow neighbors in block order —
+ *                              O(n·w) pairs; an oversized exact-dup cluster
+ *                              still CHAINS (adjacent members pair, and the
+ *                              downstream connected components closes the
+ *                              chain transitively), so big dup families are
+ *                              not lost
+ *      n > purgeLimit          purged (boilerplate blocks carry no signal);
+ *                              measure with `blockBranchStats` and write it
+ *                              to lineage — never silent by construction
  */
 object Dedup {
 
@@ -40,45 +59,83 @@ object Dedup {
   // ---------------------------------------------------------- MinHash-LSH
   case class MinHashConfig(
       numHashes: Int = 48, bands: Int = 12, rowsPerBand: Int = 4,
-      seed: Long = 42L, maxBlock: Int = 256, verifyJaccard: Double = 0.7)
+      seed: Long = 42L, maxBlock: Int = 256, verifyJaccard: Double = 0.7,
+      purgeLimit: Int = 1000000, snWindow: Int = 8)
 
   /**
-   * MinHash-LSH near-duplicate groups: shingle → minhash → band →
-   * bucket-join → exact-Jaccard verify → connected components.
-   * Returns (id, group_id); docs in no near-dup pair keep group_id = id.
+   * MinHash-LSH near-duplicate PAIRS: shingle → minhash → band → thin
+   * bucket pairs → join hash sets back → exact-Jaccard verify.
+   * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ verifyJaccard.
+   *
+   * Completeness note: docs with IDENTICAL token sets have identical
+   * signatures, hence identical band keys — they ALWAYS share a block, so
+   * exact duplicates are found with probability 1 (near-dups at jaccard j
+   * collide with the usual 1-(1-j^r)^b).
    */
-  def minhashNearDupGroups(df: DataFrame, idCol: String, textCol: String,
-                           cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // (id, hashes, sig): consumed by block keys + both verify join-backs —
+    // tokenization/MinHash dominate map cost, so persist for the run
     val feats = df.select(
         col(idCol).cast("string").as("id"),
         token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed).as("hashes"))
       .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val blocks = feats.select(
       explode(minhash_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
-      col("id"), col("hashes"))
+      col("id"))
 
-    val pairs = blockPairs(blocks, struct(col("id"), col("hashes")), cfg.maxBlock)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hashes").as("h_a"), col("b.hashes").as("h_b"))
+    val thin = blockPairs(blocks, struct(col("id")), cfg.maxBlock,
+        cfg.purgeLimit, cfg.snWindow, p => p("id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val edges = pairs
-      .filter(jaccard_sorted(col("h_a"), col("h_b")) >= cfg.verifyJaccard)
-      .select(col("id_a").as("url_a"), col("id_b").as("url_b"))
+    val ha = feats.select(col("id").as("id_a"), col("hashes").as("h_a"))
+    val hb = feats.select(col("id").as("id_b"), col("hashes").as("h_b"))
+    thin.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("jaccard", jaccard_sorted(col("h_a"), col("h_b")))
+      .filter(col("jaccard") >= cfg.verifyJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
 
-    ConnectedComponents.assignAll(feats.select(col("id").as("url")), edges)
+  /**
+   * MinHash-LSH near-duplicate GROUPS: verified pairs closed transitively.
+   * Returns (id, group_id); docs in no near-dup pair keep group_id = id.
+   */
+  def minhashNearDupGroups(df: DataFrame, idCol: String, textCol: String,
+                           cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val edges = minhashNearDupPairs(df, idCol, textCol, cfg)
+      .select(col("id_a").as("url_a"), col("id_b").as("url_b"))
+    ConnectedComponents.assignAll(
+        df.select(col(idCol).cast("string").as("url")), edges)
       .select(col("url").as(idCol), col("cluster_id").as("group_id"))
   }
 
   // --------------------------------------------------------------- SimHash
-  case class SimHashConfig(seed: Long = 42L, maxHamming: Int = 6, tables: Int = 4)
+  /**
+   * `segments - choose` is the GUARANTEED collision radius of the banding
+   * (Manku et al., WWW'07): it must cover `maxHamming`, else pairs inside
+   * the verified radius are silently missed by construction (the round-1
+   * 4×16-bit scheme verified d ≤ 6 but only guaranteed d ≤ 3).
+   * Default 8 segments choose 2 → C(8,2)=28 keys of 16 bits, radius 6.
+   */
+  case class SimHashConfig(
+      seed: Long = 42L, maxHamming: Int = 6, segments: Int = 8, choose: Int = 2,
+      maxBlock: Int = 1024, purgeLimit: Int = 1000000, snWindow: Int = 8) {
+    require(segments - choose >= maxHamming,
+      s"banding radius ${segments - choose} < maxHamming $maxHamming: " +
+        "pairs inside the verified radius would be missed by construction")
+  }
 
   /**
-   * SimHash near-dup pairs: 64-bit fingerprints, blocked by `tables`
-   * 16-bit key segments (two fingerprints within hamming distance d collide
-   * on ≥1 of 4 segments when d ≤ 3 per pigeonhole at d ≤ tables-1 segment
-   * errors), verified by exact hamming distance.
+   * SimHash near-dup pairs: 64-bit fingerprints, one explode over the
+   * C(segments, choose) combination keys (ONE scan + ONE shuffle — not one
+   * union branch per table), exact hamming verify BEFORE the pair-dedup
+   * shuffle (the filter is ~free; deduping unfiltered pairs was the round-1
+   * bench's single most expensive stage). The 8-byte fingerprint rides
+   * through pair generation — it IS the verifier input, cheaper carried
+   * than joined back.
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           cfg: SimHashConfig = SimHashConfig()): DataFrame = {
@@ -87,18 +144,16 @@ object Dedup {
       simhash64(token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed),
         cfg.seed).as("fp"))
 
-    val segs = (0 until cfg.tables).map { t =>
-      fp.select(
-        concat(lit(s"$t:"),
-          (shiftrightunsigned(col("fp"), t * 16).bitwiseAND(lit(0xffffL))).cast("string")).as("key"),
-        col("id"), col("fp"))
-    }.reduce(_ unionByName _)
+    val blocks = fp.select(
+      explode(simhash_band_keys(col("fp"), cfg.segments, cfg.choose)).as("key"),
+      col("id"), col("fp"))
 
-    blockPairs(segs, struct(col("id"), col("fp")), 1024)
+    blockPairs(blocks, struct(col("id"), col("fp")), cfg.maxBlock,
+        cfg.purgeLimit, cfg.snWindow, p => p("fp"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming_dist64(col("a.fp"), col("b.fp")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= cfg.maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // --------------------------------------------------------- n-gram Jaccard
@@ -122,46 +177,92 @@ object Dedup {
   // ------------------------------------------------------ embedding cosine
   case class EmbeddingConfig(
       bands: Int = 8, bits: Int = 12, seed: Long = 42L,
-      maxBlock: Int = 256, minCosine: Double = 0.95)
+      maxBlock: Int = 256, minCosine: Double = 0.95,
+      purgeLimit: Int = 1000000, snWindow: Int = 8)
 
   /**
    * Embedding near-dup pairs at scale: signed-random-projection LSH buckets
-   * (cos-similar vectors collide), then exact cosine verify within buckets.
-   * Never materializes the all-pairs matrix.
+   * (cos-similar vectors collide), thin bucket pairs, vectors joined back
+   * for the exact cosine verify. Never materializes the all-pairs matrix.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             cfg: EmbeddingConfig = EmbeddingConfig()): DataFrame = {
     val v = df.select(col(idCol).cast("string").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
+        col(vecCol).cast("array<float>").as("vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val blocks = v.select(
       explode(srp_band_keys(col("vec"), cfg.bands, cfg.bits, cfg.seed)).as("key"),
-      col("id"), col("vec"))
-    blockPairs(blocks, struct(col("id"), col("vec")), cfg.maxBlock)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine_sim(col("a.vec"), col("b.vec")).as("cosine"))
+      col("id"))
+    val thin = blockPairs(blocks, struct(col("id")), cfg.maxBlock,
+        cfg.purgeLimit, cfg.snWindow, p => p("id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    thin
+      .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+      .withColumn("cosine", cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= cfg.minCosine)
+      .select("id_a", "id_b", "cosine")
   }
 
   // ----------------------------------------------------------------- util
   /**
-   * Pairs within blocks keyed by `key`: one aggregation, C(n,2) explode for
-   * blocks ≤ cap, larger blocks dropped (purging — same skew policy as
-   * graft.block.Blocking). Output columns: a, b (the payload structs),
-   * ordered a.id < b.id.
+   * Pairs within blocks keyed by `key` under the three-branch skew policy
+   * (see object doc). Block sizes come from one unordered window over the
+   * key partitioning — ONE shuffle shared by all branches; no collect_list
+   * of unbounded blocks ever happens. Output: (a, b) payload structs with
+   * a.id < b.id (canonical order — the same unordered pair from two blocks
+   * dedups correctly downstream).
+   *
+   * @param payload  struct whose FIRST field must be `id`
+   * @param sortKey  block-local neighborhood order for the SN branch (sort
+   *                 similar members adjacently: fingerprint for simhash,
+   *                 id otherwise)
    */
-  private[graft] def blockPairs(blocks: DataFrame, payload: Column, cap: Int): DataFrame = {
-    val grouped = blocks
-      .groupBy(col("key"))
-      .agg(collect_list(payload).as("ms"), count(lit(1)).as("n"))
-      .filter(col("n").between(2, cap))
-    grouped
+  private[graft] def blockPairs(blocks: DataFrame, payload: Column, cap: Int,
+      purgeLimit: Int = 1000000, snWindow: Int = 8,
+      sortKey: Column => Column = p => p.getField("id")): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+
+    val wCount = org.apache.spark.sql.expressions.Window.partitionBy($"key")
+    val withN = blocks.select($"key", payload.as("p"))
+      .withColumn("n", count(lit(1)).over(wCount))
+
+    val smallPairs = withN
+      .filter($"n".between(2, cap))
+      .groupBy($"key").agg(collect_list($"p").as("members"))
       .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.PairCombinations(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ms"))))
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"members")))
         .as(Seq("x", "y")))
+
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy(sortKey($"p"), $"p.id")
+    val leads = array((1 to snWindow).map(d => lead($"p", d).over(wOrd)): _*)
+    val hotPairs = withN
+      .filter($"n" > cap && $"n" <= purgeLimit)
+      .select($"p".as("x"), leads.as("ys")) // window exprs first, generate second
+      .select($"x", explode($"ys").as("y"))
+      .filter($"y".isNotNull)
+
+    smallPairs.unionByName(hotPairs)
       .select(
-        when(col("x.id") < col("y.id"), col("x")).otherwise(col("y")).as("a"),
-        when(col("x.id") < col("y.id"), col("y")).otherwise(col("x")).as("b"))
+        when($"x.id" < $"y.id", $"x").otherwise($"y").as("a"),
+        when($"x.id" < $"y.id", $"y").otherwise($"x").as("b"))
+  }
+
+  /**
+   * Lineage counters for the skew policy: how many blocks (and member rows)
+   * take each branch at the given caps. One aggregation over the block-key
+   * table — write it alongside checkpoints so purging is never silent.
+   */
+  def blockBranchStats(blocks: DataFrame, cap: Int, purgeLimit: Int): DataFrame = {
+    val sizes = blocks.groupBy("key").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val branch = when(col("n") <= cap, "full_pairs")
+      .when(col("n") <= purgeLimit, "sorted_neighborhood")
+      .otherwise("purged")
+    sizes.groupBy(branch.as("branch"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("n")).as("n_rows"), max(col("n")).as("max_block"))
   }
 }

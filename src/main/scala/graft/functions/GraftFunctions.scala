@@ -21,6 +21,9 @@ object GraftFunctions {
   /** NFD-fold + lowercase(ROOT) + alnum-collapse normalization. */
   def normalize_text(s: Column): Column = col(NormalizeText(expr(s)))
 
+  /** Offset-preserving whitespace tokenizer: ARRAY<STRUCT<text,i,idx,idx_end>>. */
+  def tokenize_offsets(s: Column): Column = col(TokenizeWithOffsets(expr(s)))
+
   def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
 
   def levenshtein_sim(a: Column, b: Column): Column = col(LevenshteinSim(expr(a), expr(b)))
@@ -41,6 +44,9 @@ object GraftFunctions {
     col(MinHashBandKeys(expr(sig), bands, rowsPerBand))
 
   def simhash64(hashes: Column, seed: Long = 42L): Column = col(SimHash64(expr(hashes), seed))
+
+  def simhash_band_keys(fp: Column, segments: Int, choose: Int): Column =
+    col(SimHashBandKeys(expr(fp), segments, choose))
 
   def rolling_fingerprint(text: Column): Column = col(RollingFingerprint(expr(text)))
 
@@ -73,25 +79,32 @@ object GraftFunctions {
   /** Register the SQL-facing functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("extract_text", es => ExtractText(es.head), "builtin")
-    reg.createOrReplaceTempFunction("normalize_text", es => NormalizeText(es.head), "builtin")
-    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("levenshtein_sim", es => LevenshteinSim(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("extract_text", es => ExtractText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("normalize_text", es => NormalizeText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("levenshtein_sim", es => LevenshteinSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("char_shingle_hashes",
-      es => CharShingleHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "builtin")
+      es => CharShingleHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
     reg.createOrReplaceTempFunction("token_ngram_hashes",
-      es => TokenNgramHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "builtin")
+      es => TokenNgramHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "builtin")
+      es => MinHashSignature(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
     reg.createOrReplaceTempFunction("minhash_band_keys",
-      es => MinHashBandKeys(es(0), lit(es(1)), lit(es(2))), "builtin")
+      es => MinHashBandKeys(es(0), lit(es(1)), lit(es(2))), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es(0), if (es.length > 1) litL(es(1)) else 42L), "builtin")
-    reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "builtin")
-    reg.createOrReplaceTempFunction("hamming_dist64", es => HammingDist64(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("minhash_overlap", es => MinHashOverlap(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "builtin")
+      es => SimHash64(es(0), if (es.length > 1) litL(es(1)) else 42L), "built-in")
+    reg.createOrReplaceTempFunction("rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming_dist64", es => HammingDist64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_overlap", es => MinHashOverlap(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("tf_filtered_hashes",
+      es => TfFilteredHashes(es(0), lit(es(1)), lit(es(2)), if (es.length > 3) litL(es(3)) else 42L), "built-in")
+    reg.createOrReplaceTempFunction("srp_band_keys",
+      es => SrpBandKeys(es(0), lit(es(1)), lit(es(2)), if (es.length > 3) litL(es(3)) else 42L), "built-in")
+    reg.createOrReplaceTempFunction("simhash_band_keys",
+      es => SimHashBandKeys(es(0), lit(es(1)), lit(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("tokenize_offsets", es => TokenizeWithOffsets(es.head), "built-in")
   }
 }

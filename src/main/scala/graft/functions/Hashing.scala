@@ -128,11 +128,15 @@ object HashKernels {
   /**
    * MinHash signature of a hashed-shingle set: sig_i = min over x of
    * mix64(x * a_i + b_i), with (a_i, b_i) derived from `seed`. Empty sets get
-   * a sentinel signature (Long.MaxValue everywhere) that never collides in
-   * banding with non-empty docs (band keys still differ per doc via min hash).
+   * an EMPTY signature: a shared sentinel value would make every empty doc
+   * (boilerplate-only pages after DF-stop) collide in banding and estimate
+   * similarity 1.0 against every other empty doc — auto-merging unrelated
+   * pages. Empty signatures produce no band keys (`bandKeys`) and overlap
+   * 0.0 (`sigOverlap`), i.e. contentless docs never near-dup match.
    */
   def minHashSig(hashes: ArrayData, numHashes: Int, seed: Long): ArrayData = {
     val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -157,6 +161,7 @@ object HashKernels {
    * bands never equi-join with each other.
    */
   def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    if (sig.numElements() == 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {
@@ -194,6 +199,52 @@ object HashKernels {
       b += 1
     }
     out
+  }
+
+  /**
+   * LSH keys for 64-bit SimHash fingerprints at hamming radius
+   * `segments - choose` (Manku et al., WWW'07 §3 — the public simhash
+   * dedup scheme): split the fingerprint into `segments` equal bit blocks
+   * and emit one key per `choose`-combination of blocks. Two fingerprints
+   * within hamming distance d corrupt at most d blocks, so at least
+   * `segments - d` blocks match exactly; whenever `segments - d >= choose`
+   * some emitted combination is identical on both sides — collision is
+   * GUARANTEED (not probabilistic) for d <= segments - choose.
+   *
+   * Key layout: mix64-fold of (combination id, block values in position
+   * order) so keys from different tables never equi-join. `choose` ∈ {1, 2}:
+   * 1 → `segments` keys (radius s-1, short block keys — small corpora);
+   * 2 → C(s,2) keys of 2×(64/s) bits (radius s-2 with wider, more selective
+   * keys — the web-scale setting; default 8C2 = 28 keys, radius 6).
+   */
+  def simhashBandKeys(fp: Long, segments: Int, choose: Int): ArrayData = {
+    val segBits = 64 / segments
+    val mask = if (segBits == 64) -1L else (1L << segBits) - 1L
+    if (choose == 1) {
+      val out = new Array[Long](segments)
+      var i = 0
+      while (i < segments) {
+        out(i) = mix64(mix64(0x53484b31L + i) ^ ((fp >>> (i * segBits)) & mask))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](segments * (segments - 1) / 2)
+      var k = 0
+      var a = 0
+      while (a < segments) {
+        val va = (fp >>> (a * segBits)) & mask
+        var b = a + 1
+        while (b < segments) {
+          val vb = (fp >>> (b * segBits)) & mask
+          out(k) = mix64(mix64(mix64(0x53484b32L + a * 64 + b) ^ va) ^ vb)
+          k += 1
+          b += 1
+        }
+        a += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   /** Polynomial rolling fingerprint of a string's UTF-16 chars (FNV-1a-ish). */
@@ -359,6 +410,27 @@ case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash($c, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * `SimHashBandKeys(fp LONG, segments, choose) -> ARRAY<LONG>` — guaranteed-
+ * collision LSH keys at hamming radius `segments - choose` (see
+ * HashKernels.simhashBandKeys).
+ */
+case class SimHashBandKeys(child: Expression, segments: Int, choose: Int) extends UnaryExpression {
+  require(64 % segments == 0 && segments >= 2, s"segments must divide 64, got $segments")
+  require(choose == 1 || choose == 2, s"choose must be 1 or 2, got $choose")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("SimHashBandKeys requires LONG")
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhashBandKeys(input.asInstanceOf[Long], segments, choose)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashBandKeys($c, $segments, $choose)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBandKeys =
     copy(child = newChild)
 }
 

@@ -55,5 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("dot_product", es => DotProduct(es(0), es(1)))
     reg("srp_band_keys", es =>
       SrpBandKeys(es(0), lit(es(1)), lit(es(2)), if (es.length > 3) litL(es(3)) else 42L))
+    reg("simhash_band_keys", es => SimHashBandKeys(es(0), lit(es(1)), lit(es(2))))
+    reg("tokenize_offsets", es => TokenizeWithOffsets(es.head))
   }
 }

@@ -44,3 +44,13 @@ case class MatchEdge(
 
 /** Final cluster assignment: cluster_id = lexicographic-min url of the component. */
 case class ClusterAssignment(url: String, cluster_id: String)
+
+/** One annotation: entity `label` at [start, end) of a doc — char or token
+  * coordinates by context (`/root/reference/relik/inference/data/objects.py:55-58`). */
+case class Span(start: Int, end: Int, label: String, text: String)
+
+/** Relation triple between two spans (`objects.py:60-64`). */
+case class Triplet(subject: Span, label: String, obj: Span, confidence: Double)
+
+/** One token with its char offsets (`spacy_tokenizer.py:123-194` contract). */
+case class Token(text: String, i: Int, idx: Int, idx_end: Int)

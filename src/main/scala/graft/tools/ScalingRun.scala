@@ -21,10 +21,11 @@ object ScalingRun {
     val cores = args(1).toInt
     val runs = if (args.length > 2) args(2).toInt else 1
 
+    val shufflePartitions = sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", (cores * 2).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")

@@ -52,4 +52,40 @@ class AnnSpec extends SparkSpec {
     assert(sameCluster.toDouble / out.length > 0.95,
       s"same-cluster fraction ${sameCluster.toDouble / out.length}")
   }
+
+  test("lshTopK returns exactly k neighbors per query (sparse-bucket top-up)") {
+    import spark.implicits._
+    // spread-out corpus: many buckets are singletons, forcing the fallback
+    val df = corpus(60, 16, 19).toDF("vec_id", "embedding")
+    val k = 4
+    val out = Ann.lshTopK(df, k, Ann.LshConfig(bands = 4, bits = 14)).collect()
+    val perQuery = out.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) => q -> rs.length }
+    assert(perQuery.size == 60, s"every vector is a query: ${perQuery.size}")
+    assert(perQuery.values.forall(_ == k), s"counts: ${perQuery.filter(_._2 != k)}")
+    // no self-neighbors, no duplicate (query, neighbor)
+    assert(out.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val keys = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(keys.distinct.length == keys.length, "duplicate neighbor within a query's top-k")
+  }
+
+  test("lshTopK recall vs exact brute force ≥ 0.9 on clustered corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.tabulate(15) { c =>
+      val r = new scala.util.Random(c + 300)
+      Array.fill(16)(r.nextFloat() * 2 - 1)
+    }
+    val data = for (c <- 0 until 15; m <- 0 until 8) yield {
+      val v = centers(c).map(x => x + rnd.nextFloat() * 0.05f)
+      ((c * 8 + m).toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val k = 3
+    val exact = Ann.bruteForceTopK(df, df, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.lshTopK(df, k, Ann.LshConfig(bands = 16, bits = 8)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
 }

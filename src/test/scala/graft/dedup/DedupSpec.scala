@@ -41,10 +41,49 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs detect planted near-dups") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
-        Dedup.SimHashConfig(maxHamming = 8))
+        Dedup.SimHashConfig(maxHamming = 8, segments = 16))
       .collect().map(r => (r.getAs[String]("id_a").toLong, r.getAs[String]("id_b").toLong)).toSet
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((3L, 4L)))
+  }
+
+  test("simhash blocking finds EVERY pair within maxHamming (guaranteed radius)") {
+    import spark.implicits._
+    // fingerprints engineered around a base value with bit flips spread to
+    // defeat any single-segment scheme; ids chosen so hamming ≤ 6 pairs exist
+    // with errors across many segments
+    val rnd = new scala.util.Random(7)
+    val base = 0x0123456789abcdefL
+    val fps = Seq.tabulate(40) { i =>
+      var v = base
+      val flips = rnd.nextInt(5) + i % 4 // 0..7 flipped bits
+      (0 until flips).foreach(_ => v ^= 1L << rnd.nextInt(64))
+      (i.toLong, v)
+    }
+    // feed fingerprints through the same block/verify machinery by hashing
+    // a synthetic doc per fp is impossible — test the banding kernel directly
+    val cfg = Dedup.SimHashConfig()
+    def keys(fp: Long): Set[Long] =
+      graft.functions.HashKernels
+        .simhashBandKeys(fp, cfg.segments, cfg.choose).toLongArray().toSet
+    for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      if java.lang.Long.bitCount(fa ^ fb) <= cfg.maxHamming
+    } assert(keys(fa).intersect(keys(fb)).nonEmpty,
+      s"pair ($ia,$ib) at hamming ${java.lang.Long.bitCount(fa ^ fb)} shares no key")
+  }
+
+  test("oversized exact-dup block still groups via sorted-neighborhood chaining") {
+    import spark.implicits._
+    // 400 identical docs + small cap: the block takes the SN branch, pairs
+    // chain adjacent members, and connected components closes the chain —
+    // a big dup family must never escape dedup (round-1 purge bug)
+    val many = (0L until 400L).map(i => (i, "same exact content everywhere repeated"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.minhashNearDupGroups(many, "doc_id", "text",
+        Dedup.MinHashConfig(maxBlock = 16, snWindow = 2, verifyJaccard = 0.9))
+      .collect().map(_.getAs[String]("group_id")).toSet
+    assert(groups.size == 1, s"expected one group, got ${groups.size}")
   }
 
   test("ngram jaccard exact values") {
