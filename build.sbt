@@ -37,3 +37,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )
+// Fixed, pre-touched heap for benched runs: this Firecracker guest burns
+// 75-90% CPU in the kernel when the JVM commits/uncommits heap pages at
+// runtime (munmap/madvise => TLB-shootdown IPIs across all 32 vCPUs;
+// measured 178s vs 13s wall on an identical job). Tests keep a growable
+// heap — pre-touching 28 GB per test JVM wastes startup time.
+Compile / run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  "-XX:+AlwaysPreTouch",
+)
+Compile / run / envVars += "MALLOC_ARENA_MAX" -> "2"
+Test / envVars += "MALLOC_ARENA_MAX" -> "2"

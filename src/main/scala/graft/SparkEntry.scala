@@ -164,15 +164,98 @@ object SparkEntry {
     }),
 
     "a1_window_merge" -> ((s, dir) => {
-      // split into overlapping windows then merge back: the invariant the
-      // reference's window manager maintains (manager.py:213-303)
+      // the real A1 contract (manager.py:343-430): overlapping windows carry
+      // span annotations in doc coordinates; the merge must union them,
+      // dedup the copies that overlap zones produce, keep the FIRST-SEEN
+      // probability (earliest window), and sort by start. Synthetic spans =
+      // every token starting with 't' (one-token span, label = the token,
+      // prob = 1 + offset of the window that saw it)
       val d = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      val windows = merge.Windows.splitTokens(d, "tokens", 32, 16)
+      val w = merge.Windows.splitTokens(d, "tokens", 32, 16)
         .select(col("doc_id"), col("offset"), col("window"))
-      merge.Windows.mergeWindows(windows, "doc_id")
-        .join(d.withColumnRenamed("tokens", "orig"), "doc_id")
-        .select(col("doc_id"), (col("tokens") === col("orig")).as("ok"))
+      val withSpans = w.withColumn("spans",
+        filter(
+          transform(col("window"), (tok, i) =>
+            when(startswith(tok, lit("t")), struct(
+              (col("offset") + i).cast("int").as("start"),
+              (col("offset") + i + 1).cast("int").as("end"),
+              tok.as("label"),
+              (col("offset") + 1).cast("double").as("prob")))),
+          x => x.isNotNull))
+      spans.Spans.mergeWindowSpans(withSpans, "doc_id", "offset", "spans")
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.start").as("start"), col("sp.end").as("end"),
+          col("sp.label").as("label"), col("sp.prob").as("prob"))
+    }),
+
+    "p1_tokenize_offsets" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokenize_offsets(col("text"))).as("tk"))
+        .select(col("doc_id"), col("tk.i").as("i"), col("tk.text").as("token"),
+          col("tk.idx").as("idx"), col("tk.idx_end").as("idx_end"))
+    }),
+
+    "p6_char_to_token" -> ((s, dir) => {
+      // char span → token span (exact-then-snap boundary rule,
+      // cli/data.py:158-206) and back (manager.py:78-116)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+        .withColumn("s_char", least(lit(10), col("n_chars") - 1))
+        .withColumn("e_char", least(lit(60), col("n_chars")))
+      spans.Spans.withTokenSpans(d, "text", col("s_char"), col("e_char"))
+        .select(col("doc_id"), col("s_char"), col("e_char"),
+          col("ts"), col("te"), col("snap_start"), col("snap_end"))
+    }),
+
+    "w2_budget_batches" -> ((s, dir) => {
+      // W2 sort-by-length + T5 token-budget batching: greedy pack per lang
+      // group in ascending (tokens, id) order, ≤2000 tokens and ≤128 rows
+      // per batch (relik_reader_data.py:141-149 contract)
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      ops.Batching.tokenBudgetBatches(d, "lang", "doc_id", "n_toks", budget = 2000)
+        .select(col("group").as("grp"), col("id"), col("n_tokens"),
+          col("batch"), col("batch_pos"))
+    }),
+
+    "j2_candidate_lists" -> ((s, dir) => {
+      // J2 shape: per-query RANKED candidate list (collect_list of structs,
+      // annotator.py:514-527) + per-k recall of a deterministic gold
+      // (strong_matching_eval.py:60-85 protocol, array_position rank lookup)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val pairs = d.as("q").join(d.as("c"),
+          col("q.lang") === col("c.lang") && col("q.doc_id") =!= col("c.doc_id"))
+        .select(col("q.doc_id").as("qid"), col("c.doc_id").as("cid"),
+          abs(col("q.n_chars") - col("c.n_chars")).as("dist"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist").asc, col("cid").asc)
+      val cands = pairs.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 10)
+        .groupBy(col("qid"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("cid")))).as("cands"))
+      // gold: same-lang doc with the closest doc_id (ties → smaller id)
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val gold = d
+        .withColumn("prev_id", lag(col("doc_id"), 1).over(wg))
+        .withColumn("next_id", lead(col("doc_id"), 1).over(wg))
+        .withColumn("gold",
+          when(col("prev_id").isNull, col("next_id"))
+            .when(col("next_id").isNull, col("prev_id"))
+            .when(col("doc_id") - col("prev_id") <= col("next_id") - col("doc_id"),
+              col("prev_id"))
+            .otherwise(col("next_id")))
+        .select(col("doc_id").as("qid"), col("gold"))
+        .filter(col("gold").isNotNull)
+      val ranked = cands.join(gold, "qid")
+        .withColumn("gold_rank",
+          coalesce(array_position(
+            transform(col("cands"), c => c.getField("cid")), col("gold")), lit(0L)))
+      ranked.agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("gold_rank").between(1, 1).cast("int")), 4).as("recall_at_1"),
+        round(avg(col("gold_rank").between(1, 5).cast("int")), 4).as("recall_at_5"),
+        round(avg(col("gold_rank").between(1, 10).cast("int")), 4).as("recall_at_10"))
     }),
 
     "a3_micro_prf" -> ((s, dir) => {
@@ -437,7 +520,108 @@ object SparkEntry {
         |FROM starts s JOIN d ON d.doc_id = s.doc_id""".stripMargin,
 
     "a1_window_merge" ->
-      "SELECT doc_id, true AS ok FROM documents",
+      // doc-level truth computed directly (no windows): every 't…' token is
+      // one span; prob = 1 + offset of the FIRST window containing it under
+      // the same windowStarts formula the p3 oracle replicates
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |tok AS (SELECT doc_id, n, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) - 1 AS p FROM d),
+        |starts AS (
+        |  SELECT doc_id, unnest(range(0, greatest(n - 32, 0) + 1, 16)) AS off FROM d
+        |  UNION SELECT doc_id, greatest(n - 32, 0) AS off FROM d)
+        |SELECT t.doc_id, t.p AS start, t.p + 1 AS "end", t.token AS label,
+        |  (SELECT min(st.off) FROM starts st
+        |    WHERE st.doc_id = t.doc_id AND st.off <= t.p AND t.p < st.off + 32) + 1.0 AS prob
+        |FROM tok t WHERE t.token LIKE 't%'""".stripMargin,
+
+    "p1_tokenize_offsets" ->
+      // whitespace-walk replay of the offset-preserving tokenizer
+      """WITH RECURSIVE w(doc_id, rest, consumed, i, token, idx) AS (
+        |  SELECT doc_id, text, 0, -1, '', 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    substring(rest, length(regexp_extract(rest, '^(\s*)', 1)) + length(regexp_extract(rest, '^\s*(\S+)', 1)) + 1),
+        |    consumed + length(regexp_extract(rest, '^(\s*)', 1)) + length(regexp_extract(rest, '^\s*(\S+)', 1)),
+        |    i + 1,
+        |    regexp_extract(rest, '^\s*(\S+)', 1),
+        |    consumed + length(regexp_extract(rest, '^(\s*)', 1))
+        |  FROM w WHERE regexp_matches(rest, '\S'))
+        |SELECT doc_id, i, token, idx, idx + length(token) AS idx_end
+        |FROM w WHERE i >= 0""".stripMargin,
+
+    "p6_char_to_token" ->
+      // same whitespace walk + the snap rule (equivalent to exact-then-snap
+      // under whitespace tokenization: token char ranges never touch)
+      """WITH RECURSIVE w(doc_id, rest, consumed, i, token, idx) AS (
+        |  SELECT doc_id, text, 0, -1, '', 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    substring(rest, length(regexp_extract(rest, '^(\s*)', 1)) + length(regexp_extract(rest, '^\s*(\S+)', 1)) + 1),
+        |    consumed + length(regexp_extract(rest, '^(\s*)', 1)) + length(regexp_extract(rest, '^\s*(\S+)', 1)),
+        |    i + 1,
+        |    regexp_extract(rest, '^\s*(\S+)', 1),
+        |    consumed + length(regexp_extract(rest, '^(\s*)', 1))
+        |  FROM w WHERE regexp_matches(rest, '\S')),
+        |toks AS (SELECT doc_id, i, idx, idx + length(token) AS idx_end FROM w WHERE i >= 0),
+        |sp AS (SELECT doc_id, least(10, n_chars - 1) AS s_char, least(60, n_chars) AS e_char
+        |  FROM documents)
+        |SELECT sp.doc_id, sp.s_char, sp.e_char,
+        |  (SELECT min(t.i) FROM toks t WHERE t.doc_id = sp.doc_id
+        |     AND t.idx <= sp.s_char AND sp.s_char <= t.idx_end) AS ts,
+        |  (SELECT min(t.i) FROM toks t WHERE t.doc_id = sp.doc_id
+        |     AND t.idx <= sp.e_char AND sp.e_char <= t.idx_end) + 1 AS te,
+        |  (SELECT min(t2.idx) FROM toks t2 WHERE t2.doc_id = sp.doc_id AND t2.i =
+        |    (SELECT min(t.i) FROM toks t WHERE t.doc_id = sp.doc_id
+        |       AND t.idx <= sp.s_char AND sp.s_char <= t.idx_end)) AS snap_start,
+        |  (SELECT min(t2.idx_end) FROM toks t2 WHERE t2.doc_id = sp.doc_id AND t2.i =
+        |    (SELECT min(t.i) FROM toks t WHERE t.doc_id = sp.doc_id
+        |       AND t.idx <= sp.e_char AND sp.e_char <= t.idx_end)) AS snap_end
+        |FROM sp""".stripMargin,
+
+    "w2_budget_batches" ->
+      // greedy replay of the same (tokens, id)-ordered budget packing
+      """WITH RECURSIVE d AS (SELECT lang, doc_id,
+        |    len(string_split(text, ' ')) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY len(string_split(text, ' ')), doc_id) AS rn
+        |  FROM documents),
+        |b(lang, rn, doc_id, n, batch, acc, pos) AS (
+        |  SELECT lang, rn, doc_id, n, 0, n, 0 FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.doc_id, d.n,
+        |    CASE WHEN b.acc + d.n > 2000 OR b.pos + 1 >= 128 THEN b.batch + 1 ELSE b.batch END,
+        |    CASE WHEN b.acc + d.n > 2000 OR b.pos + 1 >= 128 THEN d.n ELSE b.acc + d.n END,
+        |    CASE WHEN b.acc + d.n > 2000 OR b.pos + 1 >= 128 THEN 0 ELSE b.pos + 1 END
+        |  FROM b JOIN d ON d.lang = b.lang AND d.rn = b.rn + 1)
+        |SELECT lang AS grp, doc_id AS id, n AS n_tokens, batch, pos AS batch_pos
+        |FROM b""".stripMargin,
+
+    "j2_candidate_lists" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |pairs AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+        |    abs(q.n_chars - c.n_chars) AS dist
+        |  FROM d q JOIN d c ON q.lang = c.lang AND q.doc_id <> c.doc_id),
+        |ranked AS (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rank
+        |  FROM pairs),
+        |gold AS (SELECT doc_id AS qid,
+        |    CASE WHEN prev_id IS NULL THEN next_id
+        |         WHEN next_id IS NULL THEN prev_id
+        |         WHEN doc_id - prev_id <= next_id - doc_id THEN prev_id
+        |         ELSE next_id END AS gold
+        |  FROM (SELECT doc_id,
+        |      lag(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS prev_id,
+        |      lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS next_id
+        |    FROM d)
+        |  WHERE prev_id IS NOT NULL OR next_id IS NOT NULL),
+        |gr AS (SELECT g.qid, coalesce(r.rank, 0) AS gold_rank
+        |  FROM gold g LEFT JOIN ranked r ON r.qid = g.qid AND r.cid = g.gold AND r.rank <= 10)
+        |SELECT count(*) AS n_queries,
+        |  round(avg(CASE WHEN gold_rank = 1 THEN 1 ELSE 0 END), 4) AS recall_at_1,
+        |  round(avg(CASE WHEN gold_rank BETWEEN 1 AND 5 THEN 1 ELSE 0 END), 4) AS recall_at_5,
+        |  round(avg(CASE WHEN gold_rank BETWEEN 1 AND 10 THEN 1 ELSE 0 END), 4) AS recall_at_10
+        |FROM gr""".stripMargin,
 
     "a3_micro_prf" ->
       """WITH e AS (SELECT event_type = 'click' AS pred, value > 100.0 AS gold FROM events),

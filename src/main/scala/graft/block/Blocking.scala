@@ -90,11 +90,17 @@ object Blocking {
     val spark = pages.sparkSession
     import spark.implicits._
     val toks = split(normalize_text(col("text")), " ")
-    val raw = pages.toDF().select(
+    val raw0 = pages.toDF().select(
       col("url"),
       normalize_text(substring_index(col("text"), "\n", 1)).as("mention"),
       token_ngram_hashes(toks, 1, cfg.seed).as("tokenHashes"),
       tf_filtered_hashes(toks, cfg.minTf, cfg.minTfKeep, cfg.seed).as("freqHashes"))
+    // normalize+tokenize+hash every page is the single heaviest map kernel;
+    // the DF-stop branch consumes it twice (df aggregation + output), so
+    // keep one materialization instead of re-running the kernel per consumer
+    val raw = if (cfg.dfStopRatio < 1.0)
+      raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw0
 
     val withStops = if (cfg.dfStopRatio < 1.0) {
       // tokenHashes is sorted-distinct per doc, so counting occurrences of a

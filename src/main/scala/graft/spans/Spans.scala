@@ -62,7 +62,7 @@ object Spans {
    */
   def charSpanToTokenSpan(tokens: Column, startChar: Column, endChar: Column): Column = {
     def firstI(pred: Column => Column): Column =
-      element_at(filter(tokens, t => pred(t)), 1)
+      try_element_at(filter(tokens, t => pred(t)), lit(1)) // NULL when no token matches
     val exactS = firstI(t => t.getField("idx") === startChar)
     val exactE = firstI(t => t.getField("idx_end") === endChar)
     val snapS = firstI(t => t.getField("idx") <= startChar && startChar <= t.getField("idx_end"))
@@ -78,8 +78,8 @@ object Spans {
    */
   def tokenSpanToCharSpan(tokens: Column, ts: Column, te: Column): Column =
     struct(
-      element_at(tokens, ts + 1).getField("idx").as("start_char"),
-      element_at(tokens, te).getField("idx_end").as("end_char"))
+      try_element_at(tokens, ts + 1).getField("idx").as("start_char"),
+      try_element_at(tokens, te).getField("idx_end").as("end_char"))
 
   /**
    * Tokenize a document table once and attach both coordinate systems for

@@ -19,7 +19,10 @@ object Profile {
       .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("GRAFT_AQE_COALESCE", "true"))
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", (4L * 1024 * 1024).toString))
+      .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+      .config("spark.local.dir", "/tmp/graft-spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

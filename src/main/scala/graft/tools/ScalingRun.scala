@@ -28,7 +28,13 @@ object ScalingRun {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
-      .config("spark.local.dir", "/dev/shm/graft-spark")
+      // The test corpus is tiny next to the default 128 MB split size: a
+      // 60-220 MB corpus would coalesce to 1-3 scan partitions and run the
+      // whole map side on 3 of N cores. A real cluster job over 100 TB has
+      // millions of natural splits; small splits here recreate that shape.
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+      .config("spark.local.dir", "/tmp/graft-spark-local")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -28,6 +28,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanSchema.contains("text"), s"text must be read: $scanSchema")
   }
 
+  test("DF-stop set rides a broadcast, never a driver collect/plan literal") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pages-stop").toString
+    CorpusGen.pages(spark, 200L, seed = 42L, partitions = 2)
+      .write.mode("overwrite").parquet(tmp)
+    val pages = spark.read.parquet(tmp).as[graft.schema.Page]
+    val feats = Blocking.features(pages, Blocking.Config()) // dfStopRatio active
+    feats.collect()
+    val physical = feats.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"),
+      s"stop set must broadcast:\n$physical")
+    // no 100k-long literal array baked into the plan (round-1 shape)
+    val optimized = feats.queryExecution.optimizedPlan.toString
+    assert(!optimized.matches("(?s).*-?\\d+(,\\s*-?\\d+){99}.*"),
+      "no long literal arrays in the optimized plan")
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
