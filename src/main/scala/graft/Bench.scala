@@ -66,6 +66,11 @@ object Bench {
         "graft.tools.ScalingSuite", corpusDir, coreList.mkString(","), runs.toString)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     pb.environment().put("MALLOC_ARENA_MAX", "2")
+    // never hand freed native memory back to the OS mid-measurement: on this
+    // guest every page returned is re-faulted through a VM exit on the next
+    // allocation (see BASELINE.md). Bounded by the process high-water mark.
+    pb.environment().put("MALLOC_TRIM_THRESHOLD_", "-1")
+    pb.environment().put("MALLOC_MMAP_THRESHOLD_", "1073741824")
     val proc = pb.start()
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
     proc.waitFor()
@@ -100,7 +105,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    // sized so parallel compute dominates the ~14 s serial floor (CC rounds
+    // + stage barriers): measured t(cores) ≈ computeSec/cores + floor gives
+    // 2→8 efficiency ≈ 0.85 at 400k docs vs 0.62 at 100k
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
     // per-point timed runs; ×3 schedule appearances = 3 samples per core count
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     val loCores = math.max(2, cpus / 16)

@@ -80,6 +80,65 @@ object Ann {
                        maxBlock: Int = 2048, purgeLimit: Int = 1000000, snWindow: Int = 8)
 
   /**
+   * S6 index artifact (the FAISS build-once/query-many analog,
+   * `/root/reference/relik/retriever/indexers/faissindex.py:343-370`):
+   * persist the SRP bucket table + vectors as partitioned parquet. Queries
+   * then touch only their own bucket keys — the scan prunes on the `band`
+   * partition column and the join is key-equi, so query cost is independent
+   * of corpus size for fixed bucket geometry.
+   */
+  def buildIndex(corpus: DataFrame, path: String, cfg: LshConfig = LshConfig(),
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    v.select(posexplode(srp_band_keys(col("vec"), cfg.bands, cfg.bits, cfg.seed))
+        .as(Seq("band", "key")), col("id"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+    v.write.mode("overwrite").parquet(s"$path/vectors")
+    // geometry manifest: queries must hash with the same cfg
+    corpus.sparkSession.createDataFrame(Seq(
+        (cfg.bands, cfg.bits, cfg.seed)))
+      .toDF("bands", "bits", "seed")
+      .write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /**
+   * Query a persisted index: hash queries with the stored geometry, join
+   * bucket keys (band-partition-pruned scan), exact cosine re-rank, top-k.
+   * Queries absent from every bucket fall back to exact search.
+   */
+  def queryIndex(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.json(s"$path/meta").collect().head
+    val cfg = LshConfig(bands = meta.getAs[Long]("bands").toInt,
+      bits = meta.getAs[Long]("bits").toInt, seed = meta.getAs[Long]("seed"))
+    val buckets = spark.read.parquet(s"$path/buckets")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<float>").as("qvec"))
+    val qKeys = q.select(col("qid"), col("qvec"),
+      posexplode(srp_band_keys(col("qvec"), cfg.bands, cfg.bits, cfg.seed))
+        .as(Seq("band", "key")))
+    val cands = qKeys.join(buckets, Seq("band", "key"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("id")).dropDuplicates("qid", "id")
+      .join(vectors, "id")
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qvec"), col("vec")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ranked = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // exact fallback for queries with < k bucket candidates
+    val full = ranked.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= k).select(col("query_id"))
+    val sparseQ = q.join(full.select(col("query_id").as("qid")), Seq("qid"), "left_anti")
+      .select(col("qid").as("id"), col("qvec").as("vec"))
+    val topUp = bruteForceTopK(vectors, sparseQ, k, idCol = "id", vecCol = "vec")
+    ranked.join(full, Seq("query_id"), "left_semi")
+      .unionByName(topUp.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank")))
+  }
+
+  /**
    * Approximate top-k: SRP-LSH candidate generation (thin bucket pairs via
    * `Dedup.blockPairs` — canonical id order, skew policy, vectors joined
    * back only for the surviving pairs) + exact cosine re-rank.

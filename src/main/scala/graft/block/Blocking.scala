@@ -41,6 +41,10 @@ object Blocking {
       purgeLimit: Int = 100000, // drop blocks bigger than this
       snWindow: Int = 4,        // sorted-neighborhood width for hot blocks
       minMentionTokenLen: Int = 3,
+      mentionMaxTokens: Int = 8, // anchor = first line TRUNCATED: a whole-doc
+                                 // "first line" must not turn every body token
+                                 // into a blocking key (measured 9k-member
+                                 // mention blocks on single-line corpora)
       dfStopRatio: Double = 0.10, // drop tokens present in >10% of docs
       dfStopMax: Int = 100000,    // hard cap on the broadcast stop set
       minTf: Int = 2,             // MinHash only tokens repeated in-doc
@@ -92,7 +96,8 @@ object Blocking {
     val toks = split(normalize_text(col("text")), " ")
     val raw0 = pages.toDF().select(
       col("url"),
-      normalize_text(substring_index(col("text"), "\n", 1)).as("mention"),
+      array_join(slice(split(normalize_text(substring_index(col("text"), "\n", 1)), " "),
+        1, cfg.mentionMaxTokens), " ").as("mention"),
       token_ngram_hashes(toks, 1, cfg.seed).as("tokenHashes"),
       tf_filtered_hashes(toks, cfg.minTf, cfg.minTfKeep, cfg.seed).as("freqHashes"))
     // normalize+tokenize+hash every page is the single heaviest map kernel;

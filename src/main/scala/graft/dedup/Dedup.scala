@@ -63,40 +63,60 @@ object Dedup {
       purgeLimit: Int = 1000000, snWindow: Int = 8)
 
   /**
-   * MinHash-LSH near-duplicate PAIRS: shingle → minhash → band → thin
-   * bucket pairs → join hash sets back → exact-Jaccard verify.
-   * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ verifyJaccard.
+   * MinHash-LSH near-duplicate PAIRS, two-tier (exact-dup families must not
+   * enter LSH banding — on template-heavy web corpora hundreds of docs
+   * share one token set, their shared signature floods every band bucket
+   * past the skew caps, and the round-1 single-tier path lost most of the
+   * family's pairs to the sorted-neighborhood fallback):
    *
-   * Completeness note: docs with IDENTICAL token sets have identical
-   * signatures, hence identical band keys — they ALWAYS share a block, so
-   * exact duplicates are found with probability 1 (near-dups at jaccard j
-   * collide with the usual 1-(1-j^r)^b).
+   *  1. EXACT tier: block on the token-set identity itself (hash of the
+   *     sorted-distinct hash array). All C(n,2) pairs for families ≤
+   *     maxBlock (jaccard 1.0 by construction); bigger families chain via
+   *     sorted neighborhood — closure-equivalent downstream.
+   *  2. NEAR tier: signatures and band keys over DISTINCT token sets only
+   *     (one row per set — also the cheapest place to compute MinHash),
+   *     thin bucket pairs, hash sets joined back, exact-Jaccard verify.
+   *     Each near pair is emitted once between family representatives
+   *     (min id per set) — sparse but closure-equivalent to the full
+   *     cross-family product.
+   *
+   * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ verifyJaccard.
    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    // (id, hashes, sig): consumed by block keys + both verify join-backs —
-    // tokenization/MinHash dominate map cost, so persist for the run
     val feats = df.select(
         col(idCol).cast("string").as("id"),
         token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed).as("hashes"))
-      .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed))
+      .withColumn("setkey", xxhash64(col("hashes").cast("string")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val blocks = feats.select(
+    // tier 1: identical token sets
+    val exactPairs = blockPairs(feats.select(col("setkey").as("key"), col("id")),
+        struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+
+    // tier 2: banding over distinct sets, rep-level pairs, exact verify.
+    // first(hashes) is deterministic here: every row in a setkey group
+    // carries the identical array.
+    val reps = feats.groupBy(col("setkey"))
+      .agg(min(col("id")).as("id"), first(col("hashes")).as("hashes"))
+      .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocks = reps.select(
       explode(minhash_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
       col("id"))
-
     val thin = blockPairs(blocks, struct(col("id")), cfg.maxBlock,
         cfg.purgeLimit, cfg.snWindow, p => p("id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-
-    val ha = feats.select(col("id").as("id_a"), col("hashes").as("h_a"))
-    val hb = feats.select(col("id").as("id_b"), col("hashes").as("h_b"))
-    thin.join(ha, "id_a").join(hb, "id_b")
+    val ha = reps.select(col("id").as("id_a"), col("hashes").as("h_a"))
+    val hb = reps.select(col("id").as("id_b"), col("hashes").as("h_b"))
+    val nearPairs = thin.join(ha, "id_a").join(hb, "id_b")
       .withColumn("jaccard", jaccard_sorted(col("h_a"), col("h_b")))
-      .filter(col("jaccard") >= cfg.verifyJaccard)
+      .filter(col("jaccard") >= cfg.verifyJaccard) // distinct sets ⇒ jaccard < 1.0
       .select("id_a", "id_b", "jaccard")
+
+    exactPairs.unionByName(nearPairs).dropDuplicates("id_a", "id_b")
   }
 
   /**
@@ -129,30 +149,48 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs: 64-bit fingerprints, one explode over the
-   * C(segments, choose) combination keys (ONE scan + ONE shuffle — not one
-   * union branch per table), exact hamming verify BEFORE the pair-dedup
-   * shuffle (the filter is ~free; deduping unfiltered pairs was the round-1
-   * bench's single most expensive stage). The 8-byte fingerprint rides
-   * through pair generation — it IS the verifier input, cheaper carried
-   * than joined back.
+   * SimHash near-dup pairs, two-tier (the shape real web dedup uses —
+   * exact-dup families are huge and must not enter LSH banding):
+   *
+   *  1. EXACT tier: group by the 64-bit fingerprint itself. All C(n,2)
+   *     pairs for groups ≤ maxBlock; bigger families chain through the
+   *     sorted-neighborhood branch (transitively equivalent under the
+   *     downstream clustering). Hamming 0 by construction — a doc and its
+   *     exact duplicate are ALWAYS paired (the round-1 banding path lost
+   *     clone pairs when an oversized bucket held >snWindow equal
+   *     fingerprints).
+   *  2. NEAR tier: banding keys (one explode over the C(segments, choose)
+   *     combination keys — ONE scan + ONE shuffle) over DISTINCT
+   *     fingerprints only, exact hamming verify BEFORE the pair-dedup
+   *     shuffle, then each near fp-pair is emitted once as its two group
+   *     representatives (min id per fingerprint) — sparse but closure-
+   *     equivalent to the full cross product of both families.
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           cfg: SimHashConfig = SimHashConfig()): DataFrame = {
     val fp = df.select(
-      col(idCol).cast("string").as("id"),
-      simhash64(token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed),
-        cfg.seed).as("fp"))
+        col(idCol).cast("string").as("id"),
+        simhash64(token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed),
+          cfg.seed).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val blocks = fp.select(
+    // tier 1: identical fingerprints (hamming 0)
+    val exactPairs = blockPairs(fp.select(col("fp").as("key"), col("id")),
+        struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("hamming"))
+
+    // tier 2: banding over distinct fingerprints, rep-level pairs
+    val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("id"))
+    val blocks = reps.select(
       explode(simhash_band_keys(col("fp"), cfg.segments, cfg.choose)).as("key"),
       col("id"), col("fp"))
-
-    blockPairs(blocks, struct(col("id"), col("fp")), cfg.maxBlock,
+    val nearPairs = blockPairs(blocks, struct(col("id"), col("fp")), cfg.maxBlock,
         cfg.purgeLimit, cfg.snWindow, p => p("fp"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming_dist64(col("a.fp"), col("b.fp")).as("hamming"))
-      .filter(col("hamming") <= cfg.maxHamming)
+      .filter(col("hamming").between(1, cfg.maxHamming))
+
+    exactPairs.unionByName(nearPairs)
       .dropDuplicates("id_a", "id_b")
   }
 

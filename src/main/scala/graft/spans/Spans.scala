@@ -51,6 +51,21 @@ object Spans {
   }
 
   /**
+   * P10 whitespace snap (`cli/data.py:127-140`): shrink a char span so it
+   * starts and ends on non-space characters — the reference walks
+   * `while text[end-1] == ' ': end -= 1` and
+   * `while text[start] == ' ': start += 1` (plain spaces only). Expressed
+   * as two regexp probes on the span's flanks; returns struct(start, end).
+   */
+  def shrinkSpanWhitespace(text: Column, startChar: Column, endChar: Column): Column = {
+    val leading = length(regexp_extract(substring(text, startChar + 1, endChar - startChar), "^( *)", 1))
+    val trailing = length(regexp_extract(substring(text, startChar + 1, endChar - startChar), "( *)$", 1))
+    struct(
+      (startChar + leading).as("start"),
+      (endChar - trailing).as("end"))
+  }
+
+  /**
    * Char→token span conversion with the reference's two-step rule
    * (`cli/data.py:158-206`): exact boundary match first (span start equals
    * a token start, span end equals a token end), else SNAP to the token

@@ -68,6 +68,34 @@ class AnnSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length, "duplicate neighbor within a query's top-k")
   }
 
+  test("index artifact: build once, query many, parity with lshTopK contract") {
+    import spark.implicits._
+    // clustered corpus: LSH recall is meaningful (random vectors have no
+    // neighborhood structure for buckets to capture)
+    val rnd = new scala.util.Random(41)
+    val centers = Array.tabulate(12) { c =>
+      val r = new scala.util.Random(c + 500)
+      Array.fill(16)(r.nextFloat() * 2 - 1)
+    }
+    val data = for (c <- 0 until 12; m <- 0 until 10) yield {
+      ((c * 10 + m).toLong, centers(c).map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    Ann.buildIndex(df, path, Ann.LshConfig(bands = 12, bits = 8))
+    // partition pruning is structural: buckets parquet is partitioned by band
+    assert(new java.io.File(s"$path/buckets").listFiles().exists(_.getName.startsWith("band=")))
+    val out = Ann.queryIndex(spark, path, df.filter($"vec_id" < 10), 5).collect()
+    val perQ = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(perQ.size == 10 && perQ.values.forall(_ == 5), s"per-query counts: $perQ")
+    // neighbors produced through the artifact match exact search reasonably
+    val exact = Ann.bruteForceTopK(df, df.filter($"vec_id" < 10), 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"indexed-search recall vs exact: $recall")
+  }
+
   test("lshTopK recall vs exact brute force ≥ 0.9 on clustered corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

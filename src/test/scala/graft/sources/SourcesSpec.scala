@@ -32,6 +32,27 @@ class SourcesSpec extends SparkSpec {
     assert(m("category") == "person" && m("popularity") == "0.9")
   }
 
+  test("S2/P8: KbSource loaders + passage formatting with metadata fields") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kb3").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "kb.tsv"),
+      "id\ttext\tdefinition\tcategory\n" +
+        "1\tAlbert Einstein\tphysicist born in Ulm\tperson\n" +
+        "2\tBerlin\tcapital of Germany\tplace\n")
+    val kb = KbSource.loadDelimited(spark, s"$tmp/kb.tsv")
+    assert(kb.columns.toSeq == Seq("id", "text", "metadata"))
+    val passages = kb.select(col("id"),
+        KbSource.formatPassage(col("text"), col("metadata"),
+          Seq("definition", "category")).as("passage"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(passages(1L) == "Albert Einstein <def> physicist born in Ulm <def> person")
+    assert(passages(2L) == "Berlin <def> capital of Germany <def> place")
+    // missing metadata field contributes an empty string, not a null passage
+    val withMissing = kb.select(KbSource.formatPassage(col("text"), col("metadata"),
+      Seq("definition", "nope")).as("p")).collect().map(_.getString(0))
+    assert(withMissing.contains("Albert Einstein <def> physicist born in Ulm <def> "))
+  }
+
   test("S2: jsonl KB scan (id defaults analog: hash of text when absent)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-kb2").toString

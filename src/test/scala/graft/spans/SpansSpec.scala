@@ -47,6 +47,24 @@ class SpansSpec extends SparkSpec {
       (0, 14, 0, 3, 0, 14)))
   }
 
+  test("shrinkSpanWhitespace strips flanking spaces like the reference walk") {
+    import spark.implicits._
+    //          0123456789012345
+    val text = "ab  cd ef   gh"
+    val cases = Seq((2, 6), (3, 7), (6, 12), (0, 14))
+    val out = cases.toDF("s", "e")
+      .withColumn("r", Spans.shrinkSpanWhitespace(lit(text), col("s"), col("e")))
+      .select($"s", $"e", $"r.start", $"r.end")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    def refShrink(s0: Int, e0: Int): (Int, Int) = {
+      var s = s0; var e = e0
+      while (e - 1 >= 0 && text.length > e - 1 && text(e - 1) == ' ') e -= 1
+      while (s >= 0 && text.length > s && text(s) == ' ') s += 1
+      (s, e)
+    }
+    cases.foreach { case (s, e) => assert(out((s, e)) == refShrink(s, e), s"span ($s,$e)") }
+  }
+
   test("mergeWindowSpans: dedup across overlap, first-seen prob, sorted") {
     import spark.implicits._
     // windows 0 and 1 overlap; span (4,5,'x') seen by both with different
