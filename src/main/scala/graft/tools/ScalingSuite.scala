@@ -51,12 +51,17 @@ object ScalingSuite {
     // repeated core counts in the list (e.g. 32,8,32,8) interleave the
     // points across time, so slow-mode drift of the host hits both sides
     // equally; the per-cores MIN is reported
+    // ONE job config for every point (the north rule compares the same job
+    // at two cluster sizes; a per-size shuffle-partition count would be a
+    // different job). Sized for the largest point; AQE coalesces downward.
+    val shufflePartitions = coreList.max * 2
+
     val results = coreList.map { cores =>
       pinSelf(cores)
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
         // small corpus needs small splits to exercise all cores: a real
