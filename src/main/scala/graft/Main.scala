@@ -44,9 +44,18 @@ object Main {
     val gold = CorpusGen.goldPairs(spark, nDocs, seed = 42L, partitions = cores.toInt * 2)
     val res = PairwiseF1.evaluate(gold, clusters)
 
+    // candidate-miss split (strong_matching_eval.py:86-127 analog): which
+    // FNs never survived blocking vs were scored/clustered apart — read the
+    // pairs stage snapshot the checkpointed run just committed
+    val candPairs = spark.read.parquet(s"$workDir/pairs/data")
+    val diag = PairwiseF1.missDiagnostics(gold, candPairs, clusters).collect().head
+
     println(
       f"""{"docs":$nPages,"clusters":$nClusters,"precision":${res.precision}%.4f,""" +
       f""""recall":${res.recall}%.4f,"f1":${res.f1}%.4f,""" +
+      f""""fn_not_candidate":${diag.getAs[Long]("fn_not_candidate")},""" +
+      f""""fn_scored_apart":${diag.getAs[Long]("fn_scored_apart")},""" +
+      f""""blocking_recall":${diag.getAs[Double]("blocking_recall")}%.4f,""" +
       f""""elapsed_sec":$elapsed%.1f,"docs_per_sec":${nPages / elapsed}%.1f,""" +
       s""""work_dir":"$workDir","cores":$cores}""")
     spark.stop()

@@ -38,11 +38,61 @@ object SparkEntry {
     pipeline.ErPipeline.run(pages)
   }
 
+  /** documents ∪ clones as ER `Page`s (the end-to-end pipeline input whose
+    * gold pair set — (id, id+1,000,000) — is arithmetic, so the full
+    * blocking→scoring→clustering run is DuckDB-oracle-checkable). */
+  private def clonePages(s: SparkSession, dir: String) = {
+    docsWithClones(s, dir).select(
+      col("doc_id").cast("string").as("url"),
+      lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+      col("text").cast("binary").as("html"),
+      col("text"),
+      lit("en").as("lang"))
+      .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
+  }
+
+  /** Deterministic triplet fixtures over `documents`: gold = consecutive
+    * 't…'-token spans related by `r((p+np)%3)`; pred = gold with arithmetic
+    * perturbations (drops → fn, relabels → fp) — every rule replayable in
+    * DuckDB, so the RE eval operators get exact oracles. */
+  private def tripletFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "token")))
+      .filter(startswith(col("token"), lit("t")))
+    val base = tok
+      .withColumn("np", lead(col("p"), 1).over(w))
+      .withColumn("ntoken", lead(col("token"), 1).over(w))
+      .filter(col("np").isNotNull)
+    val gold = base.select(
+      col("doc_id"), col("p"),
+      col("p").as("s_start"), (col("p") + 1).as("s_end"), col("token").as("s_label"),
+      concat(lit("r"), (col("p") + col("np")) % 3).as("relation"),
+      col("np").as("o_start"), (col("np") + 1).as("o_end"), col("ntoken").as("o_label"))
+    val pred = gold
+      .filter(col("p") % 7 =!= 0) // dropped triplets -> recall < 1
+      .withColumn("relation",
+        when(col("p") % 5 === 0, lit("rX")).otherwise(col("relation"))) // wrong relation
+      .withColumn("s_label",
+        when(col("p") % 11 === 0, upper(col("s_label"))).otherwise(col("s_label"))) // strict-only miss
+    (pred.drop("p"), gold.drop("p"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------- ER pipeline
-    "er_pipeline" -> ((s, _) => {
-      val pages = ingest.CorpusGen.pages(s, 500L, seed = 42L, partitions = 8)
-      pipeline.ErPipeline.run(pages)
+    // full blocking→scoring→clustering run, oracled: every planted clone
+    // pair (exact dup ⇒ identical features ⇒ same block ⇒ score 1 ≥ τ ⇒
+    // same cluster) must be a true positive, so (tp, fn) vs the arithmetic
+    // gold is exact. Precision-side counts are data-dependent and live in
+    // ErPipelineSpec (F1 ≥ 0.99 gate) instead.
+    "er_pipeline" -> ((s, dir) => {
+      val clusters = pipeline.ErPipeline.run(clonePages(s, dir))
+      val gold = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("url_a"),
+        (col("doc_id") + 1000000).cast("string").as("url_b"),
+        lit(true).as("is_match"))
+      eval.PairwiseF1.confusion(gold, clusters).select(col("tp"), col("fn"))
     }),
 
     // -------------------------------------------------- relational operators
@@ -145,8 +195,11 @@ object SparkEntry {
     }),
 
     "p2_sentence_split" -> ((s, dir) => {
+      // abbreviation-aware boundary rule (P2): `[.!?]` + spaces + uppercase,
+      // except after known abbreviations; sentences PARTITION the text
+      // (concat == original), the invariant windowing relies on
       t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .select(col("doc_id"), posexplode(split_sentences(col("text"))))
         .select(col("doc_id"), col("pos"), col("col").as("sentence"))
     }),
 
@@ -187,6 +240,106 @@ object SparkEntry {
         .select(col("doc_id"), explode(col("spans")).as("sp"))
         .select(col("doc_id"), col("sp.start").as("start"), col("sp.end").as("end"),
           col("sp.label").as("label"), col("sp.prob").as("prob"))
+    }),
+
+    "a1_triplet_merge" -> ((s, dir) => {
+      // RE-side A1 (manager.py:400-430): per-window triplets = consecutive
+      // 't…'-token spans inside the window; the doc merge must union them,
+      // dedup tuples seen by several overlapping windows (conf = first-seen
+      // window), and sort — oracled against window-free doc-level truth
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val w = merge.Windows.splitTokens(d, "tokens", 32, 16)
+        .select(col("doc_id"), col("offset"), col("window"))
+      val withSpans = w.withColumn("spans",
+        filter(
+          transform(col("window"), (tok, i) =>
+            when(startswith(tok, lit("t")), struct(
+              (col("offset") + i).cast("int").as("start"),
+              (col("offset") + i + 1).cast("int").as("end"),
+              tok.as("label"),
+              lit(1.0).as("prob")))),
+          x => x.isNotNull))
+      val withTriplets = withSpans.withColumn("triplets",
+        when(size(col("spans")) < 2, array().cast(
+            "array<struct<subject:struct<start:int,end:int,label:string,prob:double>," +
+            "relation:string,obj:struct<start:int,end:int,label:string,prob:double>,conf:double>>"))
+          .otherwise(zip_with(
+            slice(col("spans"), lit(1), size(col("spans")) - 1),
+            slice(col("spans"), lit(2), size(col("spans")) - 1),
+            (a, b) => struct(
+              a.as("subject"),
+              concat(lit("r"), (a.getField("start") + b.getField("start")) % 3).as("relation"),
+              b.as("obj"),
+              (col("offset") + 1).cast("double").as("conf")))))
+      spans.Triplets.mergeWindowTriplets(withTriplets, "doc_id", "offset", "triplets")
+        .select(col("doc_id"), explode(col("triplets")).as("tr"))
+        .select(col("doc_id"),
+          col("tr.s_start").as("s_start"), col("tr.s_end").as("s_end"),
+          col("tr.s_label").as("s_label"), col("tr.relation").as("relation"),
+          col("tr.o_start").as("o_start"), col("tr.o_end").as("o_end"),
+          col("tr.o_label").as("o_label"), col("tr.conf").as("conf"))
+    }),
+
+    "rel_strong_matching" -> ((s, dir) => {
+      // A3 RE-side: corpus-level boundary + strict triplet P/R/F1
+      // (relation_matching_eval.py:13-237) over the deterministic fixture
+      val (pred, gold) = tripletFixture(s, dir)
+      eval.TripletEval.strongMatching(pred, gold)
+        .select(col("n_gold"), col("n_pred"), col("correct_bound"), col("correct_strict"),
+          round(col("precision_bound"), 4).as("precision_bound"),
+          round(col("recall_bound"), 4).as("recall_bound"),
+          round(col("f1_bound"), 4).as("f1_bound"),
+          round(col("precision_strict"), 4).as("precision_strict"),
+          round(col("recall_strict"), 4).as("recall_strict"),
+          round(col("f1_strict"), 4).as("f1_strict"))
+    }),
+
+    "rel_per_relation" -> ((s, dir) => {
+      // per-relation P/R/F1 breakdown (relation_matching_eval.py:240-341)
+      val (pred, gold) = tripletFixture(s, dir)
+      eval.TripletEval.perRelation(pred, gold)
+        .select(col("relation"), col("support"), col("n_pred"),
+          col("correct_bound"), col("correct_strict"),
+          round(col("precision"), 4).as("precision"),
+          round(col("recall"), 4).as("recall"),
+          round(col("f1"), 4).as("f1"),
+          round(col("f1_strict"), 4).as("f1_strict"))
+    }),
+
+    "a1_candidate_merge" -> ((s, dir) => {
+      // A1 candidate-list completion (manager.py:432-464): each window's
+      // ranked candidates (here: its first 3 tokens) concat across windows
+      // in offset order, first-seen dedup — the doc-level candidate list
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val w = merge.Windows.splitTokens(d, "tokens", 32, 16)
+        .withColumn("cands", slice(col("window"), 1, 3))
+        .select(col("doc_id"), col("offset"), col("cands"))
+      spans.Triplets.mergeWindowCandidates(w, "doc_id", "offset", "cands")
+        .select(col("doc_id"), posexplode(col("candidates")))
+        .select(col("doc_id"), (col("pos") + 1).as("rank"), col("col").as("candidate"))
+    }),
+
+    "eval_miss_diagnostics" -> ((s, dir) => {
+      // candidate-miss split (strong_matching_eval.py:86-127): FN = blocking
+      // miss vs scored-apart, over a deterministic gold/candidate/cluster
+      // fixture on `documents`
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val gold = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 && col("a.lang") === col("b.lang"))
+        .select(col("a.doc_id").cast("string").as("url_a"),
+          col("b.doc_id").cast("string").as("url_b"),
+          lit(true).as("is_match"),
+          abs(col("a.n_chars") - col("b.n_chars")).as("dist"))
+      val cands = gold.filter(col("dist") <= 150).select(col("url_a"), col("url_b"))
+      val clusters = d.select(col("doc_id").cast("string").as("url"),
+        concat(col("lang"), lit("-"), floor(col("doc_id") / 10)).as("cluster_id"))
+      eval.PairwiseF1.missDiagnostics(gold.drop("dist"), cands, clusters)
+        .select(col("n_gold_pos"), col("tp"), col("fn_not_candidate"),
+          col("fn_scored_apart"),
+          round(col("recall"), 4).as("recall"),
+          round(col("blocking_recall"), 4).as("blocking_recall"))
     }),
 
     "p1_tokenize_offsets" -> ((s, dir) => {
@@ -408,14 +561,7 @@ object SparkEntry {
       // documents ∪ exact clones: every clone pair must land in one cluster
       // (identical features ⇒ blocked together, score 1.0 ≥ τ, transitive
       // closure keeps them together) — an end-to-end recall oracle
-      val pages = docsWithClones(s, dir).select(
-        col("doc_id").cast("string").as("url"),
-        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
-        col("text").cast("binary").as("html"),
-        col("text"),
-        lit("en").as("lang"))
-        .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
-      val clusters = pipeline.ErPipeline.run(pages)
+      val clusters = pipeline.ErPipeline.run(clonePages(s, dir))
       clusters.as("a").join(clusters.as("b"),
           col("a.cluster_id") === col("b.cluster_id") &&
           col("b.url").cast("bigint") === col("a.url").cast("bigint") + 1000000)
@@ -501,10 +647,38 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
 
     "p2_sentence_split" ->
-      """SELECT doc_id,
-        |  generate_subscripts(string_split(text, '. '), 1) - 1 AS pos,
-        |  unnest(string_split(text, '. ')) AS sentence
-        |FROM documents""".stripMargin,
+      // recursive replay of the abbreviation-aware boundary scan: leftmost
+      // `[.!?] +[A-Z]` candidate (RE2 non-greedy; no lookaround in DuckDB,
+      // so the uppercase char is captured and re-prefixed), rejected when
+      // the token ending at the punctuation is a known abbreviation;
+      // emitted sentences carry their trailing spaces (concat == text)
+      """WITH RECURSIVE w(doc_id, rest, pending, k, emit, sentence) AS (
+        |  SELECT doc_id, text, '', -1, false, '' FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN g1 = '' THEN ''
+        |         ELSE substring(rest, length(g1) + length(g2) + 1) END,
+        |    CASE WHEN g1 = '' THEN ''
+        |         WHEN is_abbrev THEN pending || g1 || g2 ELSE '' END,
+        |    CASE WHEN g1 <> '' AND NOT is_abbrev THEN k + 1 ELSE k END,
+        |    CASE WHEN g1 = '' THEN rest <> '' OR pending <> ''
+        |         ELSE NOT is_abbrev END,
+        |    CASE WHEN g1 = '' THEN pending || rest
+        |         WHEN is_abbrev THEN '' ELSE pending || g1 || g2 END
+        |  FROM (
+        |    SELECT doc_id, rest, pending, k,
+        |      regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 1) AS g1,
+        |      regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 2) AS g2,
+        |      lower(regexp_extract(regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 1),
+        |        '([^ ]*)$', 1)) IN
+        |        ('mr.','mrs.','ms.','dr.','prof.','sr.','jr.','st.','vs.',
+        |         'etc.','e.g.','i.e.','no.','fig.','al.','approx.') AS is_abbrev
+        |    FROM w WHERE rest <> '') s),
+        |emitted AS (
+        |  SELECT doc_id, sentence,
+        |    CASE WHEN rest = '' THEN k + 1 ELSE k END AS pos
+        |  FROM w WHERE emit)
+        |SELECT doc_id, pos, sentence FROM emitted""".stripMargin,
 
     "json_extract" ->
       """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events""",
@@ -774,6 +948,159 @@ object SparkEntry {
         |       THEN (m.h - 18446744073709551616::HUGEINT)::BIGINT ELSE m.h::BIGINT END AS fp_norm
         |FROM (SELECT doc_id, h FROM fr WHERE i = n) r
         |JOIN (SELECT doc_id, h FROM fm WHERE i = n) m USING (doc_id)""".stripMargin,
+
+    "er_pipeline" ->
+      // structural guarantee: every (id, id+1M) exact-clone pair is a TP
+      // (identical features ⇒ same blocks ⇒ score 1 ≥ τ ⇒ same cluster)
+      "SELECT count(*)::BIGINT AS tp, 0::BIGINT AS fn FROM documents",
+
+    "a1_triplet_merge" ->
+      // doc-level truth (no windows): consecutive 't…'-token positions
+      // (p, np) form one triplet IFF some window [off, off+32) holds both;
+      // conf = first (minimum) such window offset + 1, the first-seen rule
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |tok AS (SELECT doc_id, n, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) - 1 AS p FROM d),
+        |tpos AS (SELECT doc_id, n, token, p,
+        |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY p) AS ntoken
+        |  FROM tok WHERE token LIKE 't%'),
+        |starts AS (
+        |  SELECT doc_id, unnest(range(0, greatest(n - 32, 0) + 1, 16)) AS off FROM d
+        |  UNION SELECT doc_id, greatest(n - 32, 0) AS off FROM d)
+        |SELECT t.doc_id, t.p AS s_start, t.p + 1 AS s_end, t.token AS s_label,
+        |  'r' || ((t.p + t.np) % 3) AS relation,
+        |  t.np AS o_start, t.np + 1 AS o_end, t.ntoken AS o_label,
+        |  (SELECT min(st.off) FROM starts st
+        |    WHERE st.doc_id = t.doc_id AND st.off <= t.p AND t.np < st.off + 32) + 1.0 AS conf
+        |FROM tpos t WHERE t.np IS NOT NULL
+        |  AND EXISTS (SELECT 1 FROM starts st
+        |    WHERE st.doc_id = t.doc_id AND st.off <= t.p AND t.np < st.off + 32)""".stripMargin,
+
+    "rel_strong_matching" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) - 1 AS p FROM d),
+        |tpos AS (SELECT doc_id, token, p,
+        |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY p) AS ntoken
+        |  FROM tok WHERE token LIKE 't%'),
+        |gold AS (SELECT doc_id, p, p AS s_start, p + 1 AS s_end, token AS s_label,
+        |    'r' || ((p + np) % 3) AS relation, np AS o_start, np + 1 AS o_end,
+        |    ntoken AS o_label
+        |  FROM tpos WHERE np IS NOT NULL),
+        |pred AS (SELECT doc_id, s_start, s_end,
+        |    CASE WHEN p % 11 = 0 THEN upper(s_label) ELSE s_label END AS s_label,
+        |    CASE WHEN p % 5 = 0 THEN 'rX' ELSE relation END AS relation,
+        |    o_start, o_end, o_label
+        |  FROM gold WHERE p % 7 <> 0),
+        |sp AS (SELECT DISTINCT doc_id, s_start, s_end, s_label, relation, o_start, o_end, o_label FROM pred),
+        |sg AS (SELECT DISTINCT doc_id, s_start, s_end, s_label, relation, o_start, o_end, o_label FROM gold),
+        |bp AS (SELECT DISTINCT doc_id, s_start, s_end, relation, o_start, o_end FROM pred),
+        |bg AS (SELECT DISTINCT doc_id, s_start, s_end, relation, o_start, o_end FROM gold),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM sg) AS n_gold,
+        |  (SELECT count(*) FROM sp) AS n_pred,
+        |  (SELECT count(*) FROM bg) AS n_gold_bound,
+        |  (SELECT count(*) FROM bp) AS n_pred_bound,
+        |  (SELECT count(*) FROM (SELECT * FROM bp INTERSECT SELECT * FROM bg)) AS correct_bound,
+        |  (SELECT count(*) FROM (SELECT * FROM sp INTERSECT SELECT * FROM sg)) AS correct_strict),
+        |m AS (SELECT n_gold, n_pred, correct_bound, correct_strict,
+        |  CASE WHEN n_pred_bound = 0 THEN 0.0 ELSE correct_bound * 1.0 / n_pred_bound END AS pb,
+        |  CASE WHEN n_gold_bound = 0 THEN 0.0 ELSE correct_bound * 1.0 / n_gold_bound END AS rb,
+        |  CASE WHEN n_pred = 0 THEN 0.0 ELSE correct_strict * 1.0 / n_pred END AS ps,
+        |  CASE WHEN n_gold = 0 THEN 0.0 ELSE correct_strict * 1.0 / n_gold END AS rs
+        |  FROM c)
+        |SELECT n_gold::BIGINT AS n_gold, n_pred::BIGINT AS n_pred,
+        |  correct_bound::BIGINT AS correct_bound, correct_strict::BIGINT AS correct_strict,
+        |  round(pb, 4) AS precision_bound, round(rb, 4) AS recall_bound,
+        |  round(CASE WHEN pb = 0 OR rb = 0 THEN 0.0 ELSE 2 * pb * rb / (pb + rb) END, 4) AS f1_bound,
+        |  round(ps, 4) AS precision_strict, round(rs, 4) AS recall_strict,
+        |  round(CASE WHEN ps = 0 OR rs = 0 THEN 0.0 ELSE 2 * ps * rs / (ps + rs) END, 4) AS f1_strict
+        |FROM m""".stripMargin,
+
+    "rel_per_relation" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) - 1 AS p FROM d),
+        |tpos AS (SELECT doc_id, token, p,
+        |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY p) AS ntoken
+        |  FROM tok WHERE token LIKE 't%'),
+        |gold AS (SELECT doc_id, p, p AS s_start, p + 1 AS s_end, token AS s_label,
+        |    'r' || ((p + np) % 3) AS relation, np AS o_start, np + 1 AS o_end,
+        |    ntoken AS o_label
+        |  FROM tpos WHERE np IS NOT NULL),
+        |pred AS (SELECT doc_id, s_start, s_end,
+        |    CASE WHEN p % 11 = 0 THEN upper(s_label) ELSE s_label END AS s_label,
+        |    CASE WHEN p % 5 = 0 THEN 'rX' ELSE relation END AS relation,
+        |    o_start, o_end, o_label
+        |  FROM gold WHERE p % 7 <> 0),
+        |sp AS (SELECT DISTINCT doc_id, s_start, s_end, s_label, relation, o_start, o_end, o_label FROM pred),
+        |sg AS (SELECT DISTINCT doc_id, s_start, s_end, s_label, relation, o_start, o_end, o_label FROM gold),
+        |bp AS (SELECT DISTINCT doc_id, s_start, s_end, relation, o_start, o_end FROM pred),
+        |bg AS (SELECT DISTINCT doc_id, s_start, s_end, relation, o_start, o_end FROM gold),
+        |per_gold AS (SELECT relation, count(*) AS support FROM sg GROUP BY 1),
+        |per_pred AS (SELECT relation, count(*) AS n_pred FROM sp GROUP BY 1),
+        |per_bound AS (SELECT relation, count(*) AS correct_bound
+        |  FROM (SELECT * FROM bp INTERSECT SELECT * FROM bg) GROUP BY 1),
+        |per_strict AS (SELECT relation, count(*) AS correct_strict
+        |  FROM (SELECT * FROM sp INTERSECT SELECT * FROM sg) GROUP BY 1),
+        |j AS (SELECT g.relation, g.support,
+        |    coalesce(p.n_pred, 0) AS n_pred,
+        |    coalesce(b.correct_bound, 0) AS correct_bound,
+        |    coalesce(s.correct_strict, 0) AS correct_strict
+        |  FROM per_gold g LEFT JOIN per_pred p USING (relation)
+        |  LEFT JOIN per_bound b USING (relation)
+        |  LEFT JOIN per_strict s USING (relation)),
+        |m AS (SELECT *,
+        |  CASE WHEN n_pred = 0 THEN 0.0 ELSE correct_bound * 1.0 / n_pred END AS pr,
+        |  CASE WHEN support = 0 THEN 0.0 ELSE correct_bound * 1.0 / support END AS rc,
+        |  CASE WHEN n_pred = 0 THEN 0.0 ELSE correct_strict * 1.0 / n_pred END AS prs,
+        |  CASE WHEN support = 0 THEN 0.0 ELSE correct_strict * 1.0 / support END AS rcs
+        |  FROM j)
+        |SELECT relation, support::BIGINT AS support, n_pred::BIGINT AS n_pred,
+        |  correct_bound::BIGINT AS correct_bound, correct_strict::BIGINT AS correct_strict,
+        |  round(pr, 4) AS precision, round(rc, 4) AS recall,
+        |  round(CASE WHEN pr = 0 OR rc = 0 THEN 0.0 ELSE 2 * pr * rc / (pr + rc) END, 4) AS f1,
+        |  round(CASE WHEN prs = 0 OR rcs = 0 THEN 0.0 ELSE 2 * prs * rcs / (prs + rcs) END, 4) AS f1_strict
+        |FROM m""".stripMargin,
+
+    "a1_candidate_merge" ->
+      // first-seen order = (window offset, in-window rank); ord = off*4+i is
+      // collision-free for i ∈ 1..3
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |starts AS (
+        |  SELECT doc_id, unnest(range(0, greatest(n - 32, 0) + 1, 16)) AS off FROM d
+        |  UNION SELECT doc_id, greatest(n - 32, 0) AS off FROM d),
+        |wins AS (SELECT s.doc_id, s.off, d.toks[s.off + 1 : s.off + 32] AS win
+        |  FROM starts s JOIN d ON d.doc_id = s.doc_id),
+        |cand AS (SELECT doc_id, off, unnest(win[1:3]) AS candidate,
+        |    generate_subscripts(win[1:3], 1) AS i FROM wins),
+        |firsts AS (SELECT doc_id, candidate, min(off * 4 + i) AS ord
+        |  FROM cand GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY ord)::INT AS rank,
+        |  candidate
+        |FROM firsts""".stripMargin,
+
+    "eval_miss_diagnostics" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |gold AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    abs(a.n_chars - b.n_chars) AS dist
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+        |j AS (SELECT *,
+        |    (floor(ida / 10) = floor(idb / 10)) AS pred,
+        |    (dist <= 150) AS is_cand FROM gold)
+        |SELECT count(*)::BIGINT AS n_gold_pos,
+        |  sum(CASE WHEN pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |  sum(CASE WHEN NOT pred AND NOT is_cand THEN 1 ELSE 0 END)::BIGINT AS fn_not_candidate,
+        |  sum(CASE WHEN NOT pred AND is_cand THEN 1 ELSE 0 END)::BIGINT AS fn_scored_apart,
+        |  round(sum(CASE WHEN pred THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS recall,
+        |  round(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS blocking_recall
+        |FROM j""".stripMargin,
 
     "cc_components" ->
       """WITH RECURSIVE e AS (

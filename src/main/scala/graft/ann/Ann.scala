@@ -77,7 +77,108 @@ object Ann {
   }
 
   case class LshConfig(bands: Int = 16, bits: Int = 10, seed: Long = 42L,
-                       maxBlock: Int = 2048, purgeLimit: Int = 1000000, snWindow: Int = 8)
+                       maxBlock: Int = 2048, purgeLimit: Int = 1000000, snWindow: Int = 8,
+                       fallbackChunk: Int = 10000)
+
+  /** Observability for the always-k top-up (no-silent-caps rule): how many
+    * queries missed k candidates in the primary buckets, how many still
+    * missed after the coarse multi-probe pass, and how many chunked exact
+    * passes the residue needed. Set by `lshTopK`/`queryIndex`. */
+  case class TopUpStats(sparsePrimary: Long, sparseAfterCoarse: Long, exactChunks: Int)
+  @volatile var lastTopUpStats: TopUpStats = TopUpStats(0, 0, 0)
+
+  /**
+   * Always-k completion (the reference returns exactly k rows per query,
+   * `inmemory.py:294-296`) WITHOUT the unbounded driver fallback the round-2
+   * version had (it `collect()`ed every sparse query and brute-forced the
+   * full corpus — vectors that land only in singleton buckets ALL fall into
+   * the sparse set, so a spread-out corpus degraded to |corpus|×|queries|
+   * through one driver broadcast).
+   *
+   *  1. COARSE MULTI-PROBE, fully distributed: re-bucket the sparse queries
+   *     and the corpus at bits/2. The hyperplane for (band, bit) depends
+   *     only on (band, bit, seed) — see `VectorKernels.srpBandKeys` — so a
+   *     coarse bucket is a strict SUPERSET of the fine bucket: each halving
+   *     of bits multiplies expected bucket population by 2^(bits/2), which
+   *     resolves almost all sparse queries in one pass.
+   *  2. CHUNKED EXACT residue: whatever still lacks k goes brute-force in
+   *     bounded chunks of `fallbackChunk` queries (driver holds one chunk
+   *     at a time, never the whole sparse set), with the chunk count logged
+   *     and recorded in `lastTopUpStats`.
+   *
+   * @param corpus  (id, vec) neighbor pool — must be persisted by the caller
+   * @param queriesV (id, vec) query set (= corpus for self-join usage)
+   * @param ranked0 (query_id, neighbor_id, cosine, rank) primary candidates
+   */
+  private def completeTopK(corpus: DataFrame, queriesV: DataFrame,
+                           ranked0: DataFrame, k: Int,
+                           cfg: LshConfig): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus
+    val full = ranked0.groupBy($"query_id").agg(count(lit(1)).as("c"))
+      .filter($"c" >= k).select($"query_id")
+    val fullRanked = ranked0.join(full, Seq("query_id"), "left_semi")
+
+    val sparse1 = queriesV.join(full.select($"query_id".as("id")), Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = sparse1.count()
+    if (n1 == 0) {
+      sparse1.unpersist(blocking = false)
+      lastTopUpStats = TopUpStats(0, 0, 0)
+      return fullRanked
+    }
+
+    // coarse pass: same seed, half the bits -> superset buckets
+    val coarseBits = math.max(1, cfg.bits / 2)
+    val cKeys = (d: DataFrame) => d.select($"id", $"vec",
+      explode(graft.functions.GraftFunctions.srp_band_keys(
+        $"vec", cfg.bands, coarseBits, cfg.seed)).as("key"))
+    val qk = cKeys(sparse1).select($"id".as("qid"), $"vec".as("qvec"), $"key")
+    val ck = cKeys(v).select($"id", $"key")
+    val coarseCands = qk.join(ck, Seq("key"))
+      .filter($"id" =!= $"qid")
+      .select($"qid", $"qvec", $"id").dropDuplicates("qid", "id")
+      .join(v.select($"id", $"vec"), Seq("id"))
+      .select($"qid".as("query_id"), $"id".as("neighbor_id"),
+        graft.functions.GraftFunctions.cosine_sim($"qvec", $"vec").as("cosine"))
+    // merge with whatever the primary buckets already found for these queries
+    val sparseRanked0 = ranked0.join(full, Seq("query_id"), "left_anti")
+      .select($"query_id", $"neighbor_id", $"cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    val coarseRanked = coarseCands.unionByName(sparseRanked0)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .localCheckpoint(eager = true)
+
+    val coarseFull = coarseRanked.groupBy($"query_id").agg(count(lit(1)).as("c"))
+      .filter($"c" >= k).select($"query_id")
+    val sparse2 = sparse1.join(coarseFull.select($"query_id".as("id")), Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = sparse2.count()
+
+    val exact = if (n2 == 0) Seq.empty[DataFrame] else {
+      val nChunks = math.max(1, math.ceil(n2.toDouble / cfg.fallbackChunk).toInt)
+      (0 until nChunks).map { c =>
+        val chunk = sparse2.filter(pmod(xxhash64($"id"), lit(nChunks)) === c)
+        bruteForceTopK(v, chunk, k, idCol = "id", vecCol = "vec")
+          .select($"query_id", $"neighbor_id", $"cosine", $"rank")
+          .localCheckpoint(eager = true)
+      }
+    }
+    val nChunksRun = exact.size
+    lastTopUpStats = TopUpStats(n1, n2, nChunksRun)
+    if (n1 > 0)
+      System.err.println(s"[graft.ann] always-k top-up: sparse_primary=$n1 " +
+        s"after_coarse=$n2 exact_chunks=$nChunksRun (corpus never collected)")
+
+    val coarseOnly = coarseRanked.join(coarseFull, Seq("query_id"), "left_semi")
+    val out = (Seq(fullRanked, coarseOnly) ++ exact).reduce(_ unionByName _)
+    sparse1.unpersist(blocking = false)
+    sparse2.unpersist(blocking = false)
+    out
+  }
 
   /**
    * S6 index artifact (the FAISS build-once/query-many analog,
@@ -105,7 +206,9 @@ object Ann {
   /**
    * Query a persisted index: hash queries with the stored geometry, join
    * bucket keys (band-partition-pruned scan), exact cosine re-rank, top-k.
-   * Queries absent from every bucket fall back to exact search.
+   * Queries short of k bucket candidates complete via `completeTopK`
+   * (coarse multi-probe, then bounded chunked exact — never an unbounded
+   * driver collect).
    */
   def queryIndex(spark: SparkSession, path: String, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -114,6 +217,7 @@ object Ann {
       bits = meta.getAs[Long]("bits").toInt, seed = meta.getAs[Long]("seed"))
     val buckets = spark.read.parquet(s"$path/buckets")
     val vectors = spark.read.parquet(s"$path/vectors")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(idCol).cast("long").as("qid"),
       col(vecCol).cast("array<float>").as("qvec"))
     val qKeys = q.select(col("qid"), col("qvec"),
@@ -128,14 +232,11 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     val ranked = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-    // exact fallback for queries with < k bucket candidates
-    val full = ranked.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= k).select(col("query_id"))
-    val sparseQ = q.join(full.select(col("query_id").as("qid")), Seq("qid"), "left_anti")
-      .select(col("qid").as("id"), col("qvec").as("vec"))
-    val topUp = bruteForceTopK(vectors, sparseQ, k, idCol = "id", vecCol = "vec")
-    ranked.join(full, Seq("query_id"), "left_semi")
-      .unionByName(topUp.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank")))
+    val qv = q.select(col("qid").as("id"), col("qvec").as("vec"))
+    val out = completeTopK(vectors, qv, ranked, k, cfg)
+      .localCheckpoint(eager = true)
+    vectors.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -144,11 +245,10 @@ object Ann {
    * back only for the surviving pairs) + exact cosine re-rank.
    * Works corpus-vs-corpus (every row is a query) without a cross join.
    *
-   * Completeness: queries whose buckets yield fewer than k candidates are
-   * topped up with an exact brute-force pass (the reference always returns
-   * k results per query, `inmemory.py:294-296`) — the sparse tail is small
-   * by construction (every non-singleton bucket contributes), so the
-   * fallback's broadcast side stays tiny.
+   * Completeness: queries whose buckets yield fewer than k candidates
+   * (the reference always returns k per query, `inmemory.py:294-296`)
+   * complete via `completeTopK` — coarse multi-probe first, then a
+   * bounded chunked exact pass, never an unbounded driver collect.
    */
   def lshTopK(corpus: DataFrame, k: Int, cfg: LshConfig = LshConfig(),
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -173,12 +273,8 @@ object Ann {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
 
-    // top-up: query ids with < k ranked neighbors (or none at all) go exact
-    val full = ranked.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= k).select(col("query_id"))
-    val sparseQ = v.join(full.select(col("query_id").as("id")), Seq("id"), "left_anti")
-    val topUp = bruteForceTopK(v, sparseQ, k, idCol = "id", vecCol = "vec")
-    ranked.join(full, Seq("query_id"), "left_semi")
-      .unionByName(topUp.select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank")))
+    val out = completeTopK(v, v, ranked, k, cfg).localCheckpoint(eager = true)
+    v.unpersist(blocking = false)
+    out
   }
 }

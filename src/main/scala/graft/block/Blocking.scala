@@ -90,7 +90,8 @@ object Blocking {
    * literal (a 100k-long `typedLit` serialized with every task was the
    * round-1 shape).
    */
-  def features(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
+  def features(pages: Dataset[Page], cfg: Config = Config(),
+               scope: Option[graft.ops.CacheScope] = None): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val toks = split(normalize_text(col("text")), " ")
@@ -102,9 +103,12 @@ object Blocking {
       tf_filtered_hashes(toks, cfg.minTf, cfg.minTfKeep, cfg.seed).as("freqHashes"))
     // normalize+tokenize+hash every page is the single heaviest map kernel;
     // the DF-stop branch consumes it twice (df aggregation + output), so
-    // keep one materialization instead of re-running the kernel per consumer
+    // keep one materialization instead of re-running the kernel per consumer.
+    // Registered with the caller's CacheScope when given, so the cache is
+    // freed once the caller's output is materialized.
     val raw = if (cfg.dfStopRatio < 1.0)
-      raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scope.map(_.cache(raw0)).getOrElse(
+        raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else raw0
 
     val withStops = if (cfg.dfStopRatio < 1.0) {

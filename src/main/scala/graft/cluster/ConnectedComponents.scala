@@ -31,6 +31,20 @@ import org.apache.spark.storage.StorageLevel
  */
 object ConnectedComponents {
 
+  /** Fixed fan-in for the per-iteration edge checkpoint. The converging edge
+    * set is TINY relative to the input (thin id pairs), but a checkpoint
+    * inheriting the full shuffle-partition count spawns that many map tasks
+    * per downstream stage PER ITERATION — measured ~1 s/iteration of pure
+    * scheduling on a 1.6k-edge graph (64 near-empty tasks × ~6 stages × 6
+    * iterations is the serial floor the north-rule scaling measurement pays
+    * at every cluster size). A fixed small constant keeps the job IDENTICAL
+    * across cluster sizes (the scaling rule compares the same job) and
+    * costs nothing at web scale: iteration parallelism is bounded by the
+    * SHUFFLE partition count (AQE-coalesced by data size), not by the
+    * checkpoint fan-in. Env-overridable for A/B measurement only. */
+  private def ccFanIn: Int =
+    sys.env.get("GRAFT_CC_FANIN").map(_.toInt).getOrElse(16)
+
   /**
    * @param edges DataFrame with two string columns (default url_a/url_b)
    * @return (url, cluster_id) for every node that appears in `edges`
@@ -40,13 +54,35 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    val (assign, prev) = converge(edges, aCol, bCol, maxIterations)
+    // converged star edges point child -> root; roots (parents that are
+    // nobody's child) map to themselves
+    val roots = assign.select($"cluster_id".as("url"))
+      .distinct()
+      .join(assign, Seq("url"), "left_anti")
+      .select($"url", $"url".as("cluster_id"))
+    val out = assign.unionByName(roots).localCheckpoint(eager = true)
+    prev.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Star-contraction loop → (child → root) assignment for NON-ROOT nodes
+    * only (roots are absent; `run` adds them, `assignAll` covers them via
+    * its left-join + coalesce-to-self). Returns the lazy assignment plus the
+    * final checkpoint blocks for the caller to free after materializing. */
+  private def converge(edges: DataFrame, aCol: String, bCol: String,
+                       maxIterations: Int): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
     // canonical undirected edge set (u > v convention dropped — keep both)
     var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
+      .coalesce(ccFanIn)
       .localCheckpoint(eager = true)
 
-    if (e.isEmpty) return e.select($"u".as("url"), $"v".as("cluster_id"))
+    if (e.isEmpty) return (e.select($"u".as("url"), $"v".as("cluster_id")), None)
 
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var converged = false
@@ -55,11 +91,11 @@ object ConnectedComponents {
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] =
       org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e)
 
-    while (!converged && iter < maxIterations) {
-      val iterT0 = System.nanoTime()
+    // one large-star + small-star application (Kiveris et al.)
+    def starRound(in: DataFrame): DataFrame = {
       // ---- large-star: for every u, m = min(N(u) ∪ {u});
       //      emit (v, m) for every neighbor v > u
-      val sym = e.select($"u", $"v").unionAll(e.select($"v".as("u"), $"u".as("v")))
+      val sym = in.select($"u", $"v").unionAll(in.select($"v".as("u"), $"u".as("v")))
       val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
       val large = sym.filter($"v" > $"u")
         .join(mins, "u")
@@ -72,16 +108,28 @@ object ConnectedComponents {
       val dir = large.select(
         greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       val minsS = dir.groupBy($"u").agg(min($"v").as("m"))
-      val small = dir.join(minsS, "u")
+      dir.join(minsS, "u")
         .select($"v".as("nu"), $"m".as("nv"))
         .unionAll(minsS.select($"u".as("nu"), $"m".as("nv")))
         .filter($"nu" =!= $"nv")
         .select($"nu".as("u"), $"nv".as("v"))
         .distinct()
+    }
+
+    while (!converged && iter < maxIterations) {
+      val iterT0 = System.nanoTime()
+      // TWO star rounds per checkpoint + checksum barrier: the convergence
+      // check, lineage truncation, and block-free all cost one serial
+      // scheduling wave per loop pass — a fixed floor the north-rule scaling
+      // measurement pays at every cluster size. Star contraction converges
+      // in a handful of rounds, so halving the number of barriers (at
+      // slightly coarser convergence granularity — worst case one extra
+      // round of work on an already-tiny edge set) halves that floor.
+      val small = starRound(starRound(e))
 
       // lazy checkpoint: the checksum aggregate below materializes it, so
-      // each iteration is ONE job instead of checkpoint-then-aggregate
-      val next = small.localCheckpoint(eager = false)
+      // each loop pass is ONE job instead of checkpoint-then-aggregate
+      val next = small.coalesce(ccFanIn).localCheckpoint(eager = false)
       // xor-fold checksum: order-independent, overflow-free under ANSI mode
       val sig = next
         .agg(count(lit(1)).as("c"),
@@ -106,23 +154,26 @@ object ConnectedComponents {
         s"connected components did not converge after $maxIterations iterations " +
         s"(edges=${lastSig._1}); raise maxIterations or check the edge set")
 
-    // converged star edges point child -> root; roots map to themselves
     val assign = e.select(
         greatest($"u", $"v").as("url"), least($"u", $"v").as("root"))
       .groupBy($"url").agg(min($"root").as("cluster_id"))
-    val roots = e.select(least($"u", $"v").as("url"))
-      .distinct()
-      .join(assign, Seq("url"), "left_anti")
-      .select($"url", $"url".as("cluster_id"))
-    assign.unionByName(roots)
+    (assign, prevBlocks)
   }
 
   /**
-   * Full assignment over a node universe: nodes absent from `edges` become
-   * singleton clusters (cluster_id = own url).
+   * Full assignment over a node universe: nodes absent from `edges` (and
+   * component roots, which the converged star edges never list as a child)
+   * become their own cluster_id via the coalesce-to-self — this skips the
+   * roots anti-join `run` needs, two shuffles fewer on the flagship path.
+   *
+   * The assignment is materialized (O(nodes-in-edges) thin rows) so the
+   * final iteration's checkpoint blocks are freed NOW — a long-lived bench
+   * JVM otherwise accumulates one edge-set worth of storage per invocation.
    */
   def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url"): DataFrame = {
-    val cc = run(edges)
+    val (assign, prev) = converge(edges, "url_a", "url_b", maxIterations = 50)
+    val cc = assign.localCheckpoint(eager = true)
+    prev.foreach(_.unpersist(blocking = false))
     nodes.select(col(urlCol).as("url"))
       .join(cc, Seq("url"), "left")
       .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))

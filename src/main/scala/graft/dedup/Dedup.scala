@@ -41,13 +41,25 @@ import graft.functions.GraftFunctions._
 object Dedup {
 
   // ---------------------------------------------------------------- exact
+  /** 128-bit content identity: two independently-seeded xxhash64 lanes.
+    * A single 64-bit key is NOT content identity at the scale this module
+    * targets — at 10^12 docs, C(n,2)/2^64 ≈ 2.7·10^4 expected false merges,
+    * each deleting a real document. Two lanes push that to C(n,2)/2^128 ≈
+    * 10^-15 expected collisions corpus-wide. Both lanes are codegen'd
+    * (xxhash64 mixes its column list, so a distinct literal lane salt yields
+    * an independent hash), cheaper than md5 and keeps the shuffle key at 16
+    * bytes. */
+  private[dedup] def contentKey128(c: Column): Column =
+    struct(xxhash64(c).as("h1"), xxhash64(lit(0x9e3779b97f4a7c15L), c).as("h2"))
+
   /**
    * Exact dedup by content hash: one hash-aggregate (map-side combined).
    * Returns (rep_id, n_dups) per distinct content value — rep_id is the
-   * minimum id, deterministic under retries.
+   * minimum id, deterministic under retries. `content_hash` is the 128-bit
+   * (h1, h2) struct key.
    */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+    df.groupBy(contentKey128(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
 
   /** Rows to keep after exact dedup (the representative of each group). */
@@ -84,24 +96,28 @@ object Dedup {
    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val feats = df.select(
+    val scope = new graft.ops.CacheScope
+    // 128-bit set identity (see contentKey128): hash equality IS the merge
+    // decision for the exact tier, so a 64-bit key would false-merge at
+    // 10^12-doc scale
+    val feats = scope.cache(df.select(
         col(idCol).cast("string").as("id"),
         token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed).as("hashes"))
-      .withColumn("setkey", xxhash64(col("hashes").cast("string")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("setkey", contentKey128(col("hashes").cast("string"))))
 
-    // tier 1: identical token sets
+    // tier 1: identical token sets — star pairs beyond maxBlock (O(n) per
+    // family, direct pairing to the family rep; closure-equivalent)
     val exactPairs = blockPairs(feats.select(col("setkey").as("key"), col("id")),
-        struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"))
+        struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"),
+        oversizedStar = true)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
 
     // tier 2: banding over distinct sets, rep-level pairs, exact verify.
     // first(hashes) is deterministic here: every row in a setkey group
     // carries the identical array.
-    val reps = feats.groupBy(col("setkey"))
+    val reps = scope.cache(feats.groupBy(col("setkey"))
       .agg(min(col("id")).as("id"), first(col("hashes")).as("hashes"))
-      .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed)))
     val blocks = reps.select(
       explode(minhash_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
       col("id"))
@@ -116,7 +132,12 @@ object Dedup {
       .filter(col("jaccard") >= cfg.verifyJaccard) // distinct sets ⇒ jaccard < 1.0
       .select("id_a", "id_b", "jaccard")
 
-    exactPairs.unionByName(nearPairs).dropDuplicates("id_a", "id_b")
+    // materialize the (thin) pair output, then free the wide caches now
+    // rather than at session end (the bench runs ~25 operators in one JVM)
+    val out = exactPairs.unionByName(nearPairs).dropDuplicates("id_a", "id_b")
+      .localCheckpoint(eager = true)
+    scope.close()
+    out
   }
 
   /**
@@ -153,12 +174,14 @@ object Dedup {
    * exact-dup families are huge and must not enter LSH banding):
    *
    *  1. EXACT tier: group by the 64-bit fingerprint itself. All C(n,2)
-   *     pairs for groups ≤ maxBlock; bigger families chain through the
-   *     sorted-neighborhood branch (transitively equivalent under the
-   *     downstream clustering). Hamming 0 by construction — a doc and its
-   *     exact duplicate are ALWAYS paired (the round-1 banding path lost
+   *     pairs for groups ≤ maxBlock — a doc and its exact duplicate are
+   *     DIRECTLY paired up to that size (the round-1 banding path lost
    *     clone pairs when an oversized bucket held >snWindow equal
-   *     fingerprints).
+   *     fingerprints). Bigger families emit STAR pairs (family min-id ×
+   *     each member): O(n) rows, every member directly paired with the
+   *     rep, transitively closure-equivalent to the full C(n,2) — direct
+   *     a↔b pairing for non-rep members beyond maxBlock requires the
+   *     downstream connected-components step.
    *  2. NEAR tier: banding keys (one explode over the C(segments, choose)
    *     combination keys — ONE scan + ONE shuffle) over DISTINCT
    *     fingerprints only, exact hamming verify BEFORE the pair-dedup
@@ -168,15 +191,16 @@ object Dedup {
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           cfg: SimHashConfig = SimHashConfig()): DataFrame = {
-    val fp = df.select(
+    val scope = new graft.ops.CacheScope
+    val fp = scope.cache(df.select(
         col(idCol).cast("string").as("id"),
         simhash64(token_ngram_hashes(split(normalize_text(col(textCol)), " "), 1, cfg.seed),
-          cfg.seed).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          cfg.seed).as("fp")))
 
-    // tier 1: identical fingerprints (hamming 0)
+    // tier 1: identical fingerprints (hamming 0); star pairs beyond maxBlock
     val exactPairs = blockPairs(fp.select(col("fp").as("key"), col("id")),
-        struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"))
+        struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"),
+        oversizedStar = true)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("hamming"))
 
     // tier 2: banding over distinct fingerprints, rep-level pairs
@@ -190,8 +214,11 @@ object Dedup {
         hamming_dist64(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming").between(1, cfg.maxHamming))
 
-    exactPairs.unionByName(nearPairs)
+    val out = exactPairs.unionByName(nearPairs)
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(eager = true)
+    scope.close()
+    out
   }
 
   // --------------------------------------------------------- n-gram Jaccard
@@ -225,9 +252,9 @@ object Dedup {
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             cfg: EmbeddingConfig = EmbeddingConfig()): DataFrame = {
-    val v = df.select(col(idCol).cast("string").as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scope = new graft.ops.CacheScope
+    val v = scope.cache(df.select(col(idCol).cast("string").as("id"),
+        col(vecCol).cast("array<float>").as("vec")))
     val blocks = v.select(
       explode(srp_band_keys(col("vec"), cfg.bands, cfg.bits, cfg.seed)).as("key"),
       col("id"))
@@ -235,12 +262,15 @@ object Dedup {
         cfg.purgeLimit, cfg.snWindow, p => p("id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    thin
+    val out = thin
       .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
       .withColumn("cosine", cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= cfg.minCosine)
       .select("id_a", "id_b", "cosine")
+      .localCheckpoint(eager = true)
+    scope.close()
+    out
   }
 
   // ----------------------------------------------------------------- util
@@ -256,10 +286,16 @@ object Dedup {
    * @param sortKey  block-local neighborhood order for the SN branch (sort
    *                 similar members adjacently: fingerprint for simhash,
    *                 id otherwise)
+   * @param oversizedStar oversized blocks emit STAR pairs (block-min payload
+   *                 × each member, O(n) rows) instead of sorted-neighborhood
+   *                 chains — the right shape for EXACT-identity tiers, where
+   *                 a 10M-member dup family must stay connected without
+   *                 C(n,2) or chain-only pairing
    */
   private[graft] def blockPairs(blocks: DataFrame, payload: Column, cap: Int,
       purgeLimit: Int = 1000000, snWindow: Int = 8,
-      sortKey: Column => Column = p => p.getField("id")): DataFrame = {
+      sortKey: Column => Column = p => p.getField("id"),
+      oversizedStar: Boolean = false): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
 
@@ -275,14 +311,24 @@ object Dedup {
           org.apache.spark.sql.graftbridge.ColumnBridge.expression($"members")))
         .as(Seq("x", "y")))
 
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"key").orderBy(sortKey($"p"), $"p.id")
-    val leads = array((1 to snWindow).map(d => lead($"p", d).over(wOrd)): _*)
-    val hotPairs = withN
-      .filter($"n" > cap && $"n" <= purgeLimit)
-      .select($"p".as("x"), leads.as("ys")) // window exprs first, generate second
-      .select($"x", explode($"ys").as("y"))
-      .filter($"y".isNotNull)
+    val hotPairs = if (oversizedStar) {
+      // min(payload) over the same unordered key window — struct ordering is
+      // field-lexicographic and `id` is the first field, so the star center
+      // is the block's min id (deterministic under retries)
+      withN
+        .filter($"n" > cap && $"n" <= purgeLimit)
+        .select(min($"p").over(wCount).as("x"), $"p".as("y"))
+        .filter($"x.id" =!= $"y.id")
+    } else {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"key").orderBy(sortKey($"p"), $"p.id")
+      val leads = array((1 to snWindow).map(d => lead($"p", d).over(wOrd)): _*)
+      withN
+        .filter($"n" > cap && $"n" <= purgeLimit)
+        .select($"p".as("x"), leads.as("ys")) // window exprs first, generate second
+        .select($"x", explode($"ys").as("y"))
+        .filter($"y".isNotNull)
+    }
 
     smallPairs.unionByName(hotPairs)
       .select(

@@ -67,6 +67,47 @@ object PairwiseF1 {
         sum(when(!$"is_match" && !$"pred", 1L).otherwise(0L)).as("tn"))
   }
 
+  /**
+   * Candidate-miss diagnostics (the reference's main debugging split,
+   * `/root/reference/relik/reader/utils/strong_matching_eval.py:86-127`:
+   * for each gold annotation the reader missed, was the gold entity even IN
+   * the candidate list — `miss_due_to_candidates` — or did the reader rank
+   * it wrong?). ER reframing: split the pipeline's false negatives into
+   *
+   *   fn_not_candidate — the gold pair never survived blocking
+   *                      (fix the blocker: more bands, wider keys), vs
+   *   fn_scored_apart  — it WAS a candidate but the scorer/threshold/
+   *                      clustering kept the pair apart (fix τ/weights).
+   *
+   * One lazy 1-row plan: (n_gold_pos, tp, fn_not_candidate, fn_scored_apart,
+   * recall, blocking_recall).
+   */
+  def missDiagnostics(goldPairs: DataFrame, candidatePairs: DataFrame,
+                      clusters: DataFrame): DataFrame = {
+    val spark = goldPairs.sparkSession
+    import spark.implicits._
+    val pos = goldPairs.filter($"is_match").select($"url_a", $"url_b")
+    val ca = clusters.select($"url".as("url_a"), $"cluster_id".as("cid_a"))
+    val cb = clusters.select($"url".as("url_b"), $"cluster_id".as("cid_b"))
+    val cand = candidatePairs.select($"url_a", $"url_b").distinct()
+      .withColumn("is_cand", lit(1L))
+    pos
+      .join(ca, Seq("url_a"), "left")
+      .join(cb, Seq("url_b"), "left")
+      .withColumn("pred", ($"cid_a".isNotNull && $"cid_a" === $"cid_b").cast("long"))
+      .join(cand, Seq("url_a", "url_b"), "left")
+      .agg(
+        count(lit(1)).as("n_gold_pos"),
+        sum($"pred").as("tp"),
+        sum(when($"pred" === 0 && $"is_cand".isNull, 1L).otherwise(0L)).as("fn_not_candidate"),
+        sum(when($"pred" === 0 && $"is_cand".isNotNull, 1L).otherwise(0L)).as("fn_scored_apart"),
+        sum(coalesce($"is_cand", lit(0L))).as("n_candidates_hit"))
+      .withColumn("recall",
+        when($"n_gold_pos" === 0, 0.0).otherwise($"tp".cast("double") / $"n_gold_pos"))
+      .withColumn("blocking_recall",
+        when($"n_gold_pos" === 0, 0.0).otherwise($"n_candidates_hit".cast("double") / $"n_gold_pos"))
+  }
+
   /** Blocking recall@candidates analog (SURVEY.md A4; reference
     * `scripts/data/retriever/add_candidates.py:20-53`): fraction of gold
     * matching pairs that survived into the candidate-pair set. */

@@ -24,6 +24,9 @@ object GraftFunctions {
   /** Offset-preserving whitespace tokenizer: ARRAY<STRUCT<text,i,idx,idx_end>>. */
   def tokenize_offsets(s: Column): Column = col(TokenizeWithOffsets(expr(s)))
 
+  /** Abbreviation-aware sentence split (P2); sentences partition the text. */
+  def split_sentences(s: Column): Column = col(SplitSentences(expr(s)))
+
   def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
 
   def levenshtein_sim(a: Column, b: Column): Column = col(LevenshteinSim(expr(a), expr(b)))
@@ -106,5 +109,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash_band_keys",
       es => SimHashBandKeys(es(0), lit(es(1)), lit(es(2))), "built-in")
     reg.createOrReplaceTempFunction("tokenize_offsets", es => TokenizeWithOffsets(es.head), "built-in")
+    reg.createOrReplaceTempFunction("split_sentences", es => SplitSentences(es.head), "built-in")
   }
 }

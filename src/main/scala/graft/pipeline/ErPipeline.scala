@@ -35,14 +35,20 @@ object ErPipeline {
   /** pages → (url, cluster_id). `feats` is consumed twice (block keys and
     * scorer payload) and its computation — extraction, normalization,
     * tokenization, MinHash over every page — dominates map-side cost, so it
-    * is persisted for the run instead of recomputed per consumer. */
+    * is persisted for the run instead of recomputed per consumer. The
+    * connected-components step runs eagerly, so by the time `assignAll`
+    * returns the edge pipeline has been fully consumed and every cache from
+    * this run can be freed (the bench and scaling suite run this many times
+    * in one JVM; leaked caches compound). */
   def run(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
-    val feats = Blocking.features(pages, cfg.blocking)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scope = new graft.ops.CacheScope
+    val feats = scope.cache(Blocking.features(pages, cfg.blocking, Some(scope)))
     val blocks = Blocking.blockKeys(feats, cfg.blocking)
     val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
     val edges = PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
-    ConnectedComponents.assignAll(pages.toDF().select("url"), edges)
+    val out = ConnectedComponents.assignAll(pages.toDF().select("url"), edges)
+    scope.close()
+    out
   }
 
   /** Checkpointed variant: every stage is a committed snapshot (resume-safe). */

@@ -57,5 +57,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SrpBandKeys(es(0), lit(es(1)), lit(es(2)), if (es.length > 3) litL(es(3)) else 42L))
     reg("simhash_band_keys", es => SimHashBandKeys(es(0), lit(es(1)), lit(es(2))))
     reg("tokenize_offsets", es => TokenizeWithOffsets(es.head))
+    reg("split_sentences", es => SplitSentences(es.head))
   }
 }

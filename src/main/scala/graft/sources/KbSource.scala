@@ -25,12 +25,29 @@ object KbSource {
     withDefaults(raw.withColumn("metadata", meta))
   }
 
-  /** jsonl KB: `{"id": …, "text": …, "metadata": {…}}`, id/metadata optional. */
+  /** jsonl KB: `{"id": …, "text": …, "metadata": {…}}`, id/metadata optional.
+    * `spark.read.json` infers the metadata object as a STRUCT (one field per
+    * key seen anywhere in the file), and Spark cannot cast STRUCT to
+    * MAP<STRING,STRING> — so the map is assembled from the inferred fields,
+    * dropping per-row-absent (null) entries. */
   def loadJsonl(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
     val withMeta =
-      if (raw.columns.contains("metadata")) raw
-      else raw.withColumn("metadata", map(): Column)
+      if (!raw.columns.contains("metadata"))
+        raw.withColumn("metadata", map(): Column)
+      else raw.schema("metadata").dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          val fields = s.fieldNames.toSeq
+          val asMap =
+            if (fields.isEmpty) map(): Column
+            else map_filter(
+              map_from_arrays(
+                array(fields.map(lit(_)): _*),
+                array(fields.map(f => col(s"metadata.`$f`").cast("string")): _*)),
+              (_, v) => v.isNotNull)
+          raw.withColumn("metadata", asMap)
+        case _ => raw // already a map (or null column)
+      }
     withDefaults(withMeta)
   }
 

@@ -68,6 +68,29 @@ class AnnSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length, "duplicate neighbor within a query's top-k")
   }
 
+  test("top-up is bounded: majority-sparse corpus completes via coarse probe + chunked exact") {
+    import spark.implicits._
+    // 120 uniform vectors at bands=4/bits=14: almost every bucket is a
+    // singleton, so nearly ALL queries are sparse — the round-2 code
+    // collected them all to the driver in one broadcast; the bounded path
+    // must (a) still deliver exactly k, (b) record the tail in
+    // lastTopUpStats, (c) run the exact residue in chunks of fallbackChunk
+    val df = corpus(120, 16, 101).toDF("vec_id", "embedding")
+    val k = 3
+    val out = Ann.lshTopK(df, k,
+      Ann.LshConfig(bands = 4, bits = 14, fallbackChunk = 16)).collect()
+    val perQuery = out.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) => q -> rs.length }
+    assert(perQuery.size == 120 && perQuery.values.forall(_ == k))
+    val st = Ann.lastTopUpStats
+    assert(st.sparsePrimary > 60, s"expected majority sparse, got $st")
+    assert(st.sparseAfterCoarse <= st.sparsePrimary)
+    if (st.sparseAfterCoarse > 0) {
+      val expectedChunks = math.ceil(st.sparseAfterCoarse / 16.0).toInt
+      assert(st.exactChunks == expectedChunks,
+        s"exact residue must be chunked: $st vs expected $expectedChunks chunks")
+    }
+  }
+
   test("index artifact: build once, query many, parity with lshTopK contract") {
     import spark.implicits._
     // clustered corpus: LSH recall is meaningful (random vectors have no

@@ -86,6 +86,32 @@ class DedupSpec extends SparkSpec {
     assert(groups.size == 1, s"expected one group, got ${groups.size}")
   }
 
+  test("exact tier beyond maxBlock emits star pairs (rep directly paired with every member)") {
+    import spark.implicits._
+    val many = (0L until 50L).map(i => (i, "identical body text for the whole family here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(many, "doc_id", "text",
+        Dedup.SimHashConfig(maxBlock = 8, snWindow = 2))
+      .collect().map(r => (r.getAs[String]("id_a").toLong, r.getAs[String]("id_b").toLong))
+    // O(n) star, not O(n²) full pairs and not chain-only SN: every member
+    // pairs directly with the family min id
+    assert(pairs.length == 49, s"expected 49 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L), "star center must be the min id")
+    assert(pairs.map(_._2).sorted.toSeq == (1L until 50L).toSeq)
+  }
+
+  test("content identity is 128-bit (two independent hash lanes)") {
+    val schema = Dedup.exactGroups(docs, "doc_id", "text").schema("content_hash").dataType
+    assert(schema.simpleString == "struct<h1:bigint,h2:bigint>",
+      s"exact dedup must key on a 128-bit struct, got $schema")
+    // the two lanes are genuinely independent hashes, not copies
+    val r = Dedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(_.getStruct(0)).map(s => (s.getLong(0), s.getLong(1)))
+    assert(r.forall { case (h1, h2) => h1 != h2 })
+    assert(r.map(_._1).distinct.length == r.length)
+    assert(r.map(_._2).distinct.length == r.length)
+  }
+
   test("ngram jaccard exact values") {
     import spark.implicits._
     val d = Seq((0L, "a b c d"), (1L, "a b c e"), (2L, "x y z w")).toDF("doc_id", "text")

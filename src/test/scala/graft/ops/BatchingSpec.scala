@@ -24,6 +24,40 @@ class BatchingSpec extends SparkSpec {
     assert(out(("b", 6L)) == (0, 0), "oversized row alone in its batch")
   }
 
+  test("a group spanning many partitions never materializes in one task (chunked pack)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 50k rows in 2 groups with chunkRows=512: each pack task holds ≤512
+    // rows; the sequential greedy replay WITH chunk restarts is the spec
+    val n = 50000
+    val df = spark.range(n.toLong).select(
+      (col("id") % 2).cast("string").as("grp"),
+      col("id").as("rid"),
+      ((col("id") * 37) % 97 + 1).cast("int").as("toks"))
+    val out = Batching.tokenBudgetBatches(df, "grp", "rid", "toks",
+        budget = 500, maxRows = 16, chunkRows = 512)
+      .collect()
+    assert(out.length == n)
+
+    // replay: per group, rows in (tokens, id) order, greedy restarting every
+    // chunkRows rows — must match the distributed result EXACTLY
+    val byGroup = out.groupBy(_.getString(0))
+    for ((g, rows) <- byGroup) {
+      val sorted = rows.sortBy(r => (r.getInt(2), r.getLong(1)))
+      var batch = 0; var acc = 0; var pos = 0; var rank = 0
+      sorted.foreach { r =>
+        if (rank > 0 && rank % 512 == 0) { batch += 1; acc = 0; pos = 0 } // chunk restart
+        else if (pos > 0 && (acc + r.getInt(2) > 500 || pos >= 16)) {
+          batch += 1; acc = 0; pos = 0
+        }
+        acc += r.getInt(2)
+        assert(r.getInt(3) == batch, s"group $g rank $rank: batch ${r.getInt(3)} != $batch")
+        assert(r.getInt(4) == pos, s"group $g rank $rank: pos ${r.getInt(4)} != $pos")
+        pos += 1; rank += 1
+      }
+    }
+  }
+
   test("every batch within budget unless a single row exceeds it") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

@@ -68,6 +68,34 @@ class SourcesSpec extends SparkSpec {
     assert(rows.forall(!_.isNullAt(0)))
   }
 
+  test("S2: KbSource.loadJsonl accepts the documented jsonl shape (struct metadata -> map)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kb4").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "kb.jsonl"),
+      """{"id": 1, "text": "Albert Einstein", "metadata": {"type": "person", "born": "1879"}}""" + "\n" +
+        """{"text": "Berlin", "metadata": {"type": "place"}}""" + "\n")
+    val kb = KbSource.loadJsonl(spark, s"$tmp/kb.jsonl")
+    assert(kb.columns.toSeq == Seq("id", "text", "metadata"))
+    val rows = kb.collect()
+    assert(rows.length == 2)
+    val einstein = rows.find(r => r.getString(1) == "Albert Einstein").get
+    val m1 = einstein.getMap[String, String](2)
+    assert(m1("type") == "person" && m1("born") == "1879")
+    // per-row-absent struct fields must NOT appear as null-valued map keys
+    val berlin = rows.find(r => r.getString(1) == "Berlin").get
+    val m2 = berlin.getMap[String, String](2)
+    assert(m2("type") == "place" && !m2.contains("born"))
+    assert(!berlin.isNullAt(0), "missing id defaults to text hash")
+  }
+
+  test("S2: KbSource.loadJsonl without any metadata field") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kb5").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "kb.jsonl"),
+      """{"id": 3, "text": "Rome"}""" + "\n")
+    val kb = KbSource.loadJsonl(spark, s"$tmp/kb.jsonl")
+    val r = kb.collect().head
+    assert(r.getLong(0) == 3L && r.getMap[String, String](2).isEmpty)
+  }
+
   test("S7: raw-text batch source") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-txt").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "in.txt"),
