@@ -116,16 +116,27 @@ object ConnectedComponents {
         .distinct()
     }
 
+    // The iterative loop's serial floor is (stage waves) × (per-wave
+    // scheduling latency), paid identically at every cluster size — the
+    // north-rule scaling measurement's biggest fixed cost. Two levers,
+    // applied for the LOOP ONLY (the upstream edge materialization already
+    // ran under the session config, and the conf is restored before the
+    // downstream assignment executes):
+    //  - shuffle partitions = ccFanIn: the converging edge set is thin id
+    //    pairs; 64 near-empty reduce tasks per wave are pure scheduling
+    //    overhead (measured ~1 s/iteration on a 1.6k-edge graph);
+    //  - AQE off: adaptive execution materializes and replans at every
+    //    exchange — the right call for the big one-shot stages upstream,
+    //    pure per-wave latency on a fixed tiny iteration.
+    val conf = spark.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", ccFanIn.toString)
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (!converged && iter < maxIterations) {
       val iterT0 = System.nanoTime()
-      // TWO star rounds per checkpoint + checksum barrier: the convergence
-      // check, lineage truncation, and block-free all cost one serial
-      // scheduling wave per loop pass — a fixed floor the north-rule scaling
-      // measurement pays at every cluster size. Star contraction converges
-      // in a handful of rounds, so halving the number of barriers (at
-      // slightly coarser convergence granularity — worst case one extra
-      // round of work on an already-tiny edge set) halves that floor.
-      val small = starRound(starRound(e))
+      val small = starRound(e)
 
       // lazy checkpoint: the checksum aggregate below materializes it, so
       // each loop pass is ONE job instead of checkpoint-then-aggregate
@@ -145,6 +156,10 @@ object ConnectedComponents {
       lastSig = sig
       e = next
       iter += 1
+    }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     if (!converged)
       // star-contraction halves component diameter per round, so 50 rounds

@@ -45,6 +45,21 @@ object Windows {
   }
 
   /**
+   * `chunked` helper (P2 max-length chunking, the reference's
+   * `spacy_sentence_splitter.py:114-128`): partition an array column into
+   * consecutive chunks of ≤ n elements; empty arrays yield no chunks.
+   * Pure column algebra — composes with `split_sentences` for the
+   * reference's "split overlong sentence lists" path.
+   */
+  def chunkedArray(arr: Column, n: Int): Column = {
+    require(n > 0, s"chunk size must be positive, got $n")
+    when(size(arr) <= 0, array().cast("array<array<string>>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(arr) - 1) / n).cast("int")),
+        i => slice(arr, i * n + 1, lit(n))))
+  }
+
+  /**
    * Inverse of splitTokens for stride ≤ size: group windows per key, sort by
    * offset, fold with overlap-drop — each window contributes the slice past
    * the previous window's end (the reference's suffix/prefix merge,

@@ -33,6 +33,21 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("chunkedArray partitions into ≤n chunks (P2 chunked helper)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "xs")
+    val out = df.select(col("id"), Windows.chunkedArray(col("xs"), 3).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[String]](1)).toMap
+    assert(out(1L) == Seq(Seq("a", "b", "c"), Seq("d", "e")))
+    assert(out(2L) == Seq(Seq("a", "b", "c")))
+    assert(out(3L) == Seq.empty)
+  }
+
   test("split ∘ merge == identity (column fold and typed Aggregator)") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
