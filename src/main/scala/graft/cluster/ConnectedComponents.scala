@@ -75,11 +75,15 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // canonical undirected edge set (u > v convention dropped — keep both)
+    // canonical undirected edge set (u > v convention dropped — keep both).
+    // NOT coalesced: a narrow coalesce here would cap the FUSED final stage
+    // of the whole upstream pipeline (join + score + dedup partials land in
+    // the same stage) at ccFanIn tasks — measured 600+ CPU-seconds starved
+    // onto 16 tasks at 400k docs. Only the in-loop checkpoints (tiny,
+    // fixed-size data) use the small fan-in.
     var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .coalesce(ccFanIn)
       .localCheckpoint(eager = true)
 
     if (e.isEmpty) return (e.select($"u".as("url"), $"v".as("cluster_id")), None)
