@@ -61,7 +61,7 @@ object Bench {
     * `deadlineEpochSec` + grace. Returns cores -> all completed samples. */
   private def spawnScalingSuite(corpusDir: String, coreList: Seq[Int],
                                 runs: Int, deadlineEpochSec: Long,
-                                onUpdate: Map[Int, Seq[Double]] => Unit): Map[Int, Seq[Double]] = {
+                                onUpdate: Map[Int, Seq[(Double, Double)]] => Unit): Map[Int, Seq[(Double, Double)]] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val heapGb = math.max(6, (coreList.max * 3) / 4)
     val cmd = Seq(javaBin,
@@ -81,14 +81,16 @@ object Bench {
     pb.environment().put("MALLOC_MMAP_THRESHOLD_", "1073741824")
     val proc = pb.start()
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, (Double, Double))]
     val reader = new Thread(() => {
       val src = scala.io.Source.fromInputStream(proc.getInputStream)
       try src.getLines().foreach { l =>
         if (l.startsWith("SCALING ")) {
           val parts = l.split(" ")
+          val canary = parts.find(_.startsWith("canary="))
+            .map(_.stripPrefix("canary=").toDouble).getOrElse(-1.0)
           val snapshot = results.synchronized {
-            results += (parts(1).toInt -> parts(2).toDouble)
+            results += (parts(1).toInt -> (parts(2).toDouble, canary))
             results.toSeq
           }
           System.err.println(s"[bench] $l") // progress visible in driver logs
@@ -118,7 +120,11 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      // 32 MB, not 128: estimated sizes let a ~GB-deserialized feature
+      // table slip under a 128 MB threshold — the broadcast build is a
+      // single-threaded driver stall (measured 2-5× on the 300k-doc ER
+      // job). Genuinely small dims still broadcast; big sides shuffle.
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       // small test tables (a few MB-hundreds of MB) need small splits to
       // exercise all cores — see ScalingRun for the rationale
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
@@ -232,10 +238,10 @@ object Bench {
     //      overrun the deadline and the parent keeps whatever completed
     val coreSet = Seq(cpus, midCores, loCores).distinct
 
-    def emitFull(samples: Map[Int, Seq[Double]]): Unit = {
-      val scaling = samples.map { case (c, secs) =>
-        val best = secs.min
-        c -> (benchDocs / best, best, secs.length)
+    def emitFull(samples: Map[Int, Seq[(Double, Double)]]): Unit = {
+      val scaling = samples.map { case (c, ss) =>
+        val best = ss.map(_._1).min
+        c -> (benchDocs / best, best, ss)
       }
       def eff(lo: Int, hi: Int): Option[Double] =
         for { l <- scaling.get(lo); h <- scaling.get(hi) }
@@ -243,8 +249,11 @@ object Bench {
       def effJson(lo: Int, hi: Int): String =
         eff(lo, hi).map(e => f"$e%.3f").getOrElse("null")
       val scalingJson = coreSet.flatMap(c => scaling.get(c).map(c -> _)).map {
-        case (c, (tput, sec, n)) =>
-          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":$n}"""
+        case (c, (tput, sec, ss)) =>
+          // every sample published with its host-weather canary (see
+          // ScalingSuite.canarySec) so variance is interpretable
+          val all = ss.map { case (w, cn) => f"[$w%.1f,$cn%.2f]" }.mkString("[", ",", "]")
+          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_pairs":$all}"""
       }.mkString(",")
       val erBench =
         f""""er_bench":{"docs":$benchDocs,"pinned":true,$scalingJson""" +
@@ -256,11 +265,18 @@ object Bench {
       Console.flush()
     }
 
-    val schedule = Seq.fill(2)(coreSet).flatten
+    // the north rule's headline is the N-vs-4N (2→8) ratio: spend the
+    // budget there FIRST — three interleaved passes of the (8, 2) pair so
+    // host-weather drift (BASELINE.md: effective CPU varies 2.5-4× on
+    // ~10-minute cycles) hits both sides and min-of-3 lands on clean
+    // samples — then the 16N curve point with whatever budget remains
+    val rulePair = Seq(midCores, loCores).distinct
+    val schedule = Seq.fill(3)(rulePair).flatten ++ Seq(cpus, cpus).filter(_ != midCores)
     val samples =
       try spawnScalingSuite(corpusDir, schedule, timedRuns, deadlineEpoch, emitFull)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] scaling suite failed: $e"); Map.empty[Int, Seq[Double]] }
+        System.err.println(s"[bench] scaling suite failed: $e")
+        Map.empty[Int, Seq[(Double, Double)]] }
     // final line (same shape as the rolling updates; harmless repeat)
     emitFull(samples)
   }

@@ -28,7 +28,7 @@ object Main {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -374,7 +374,10 @@ object SparkEntry {
     "j2_candidate_lists" -> ((s, dir) => {
       // J2 shape: per-query RANKED candidate list (collect_list of structs,
       // annotator.py:514-527) + per-k recall of a deterministic gold
-      // (strong_matching_eval.py:60-85 protocol, array_position rank lookup)
+      // (strong_matching_eval.py:60-85 protocol, array_position rank lookup).
+      // ORACLE-ONLY plan: the same-lang self-join is O(n²) per language —
+      // exact parity fixture, never a pattern; the scale path for candidate
+      // generation is Blocking.candidatePairs / Ann.lshTopK
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
       val pairs = d.as("q").join(d.as("c"),
           col("q.lang") === col("c.lang") && col("q.doc_id") =!= col("c.doc_id"))
@@ -424,6 +427,10 @@ object SparkEntry {
     }),
 
     "a4_recall_at_k" -> ((s, dir) => {
+      // ORACLE-ONLY plan: the global no-partition Window is a single-task
+      // sort — fine for an exact DuckDB parity check on a small fixture,
+      // never a pattern for production recall@k (use
+      // PairwiseF1.blockingRecall / per-group windows instead)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"))

@@ -16,7 +16,7 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
-      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("GRAFT_AQE_COALESCE", "true"))
       .config("spark.sql.files.maxPartitionBytes",

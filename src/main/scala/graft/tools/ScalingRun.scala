@@ -27,7 +27,7 @@ object ScalingRun {
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       // The test corpus is tiny next to the default 128 MB split size: a
       // 60-220 MB corpus would coalesce to 1-3 scan partitions and run the
       // whole map side on 3 of N cores. A real cluster job over 100 TB has

@@ -47,6 +47,22 @@ object ScalingSuite {
     p.waitFor()
   }
 
+  /** Single-core host-weather canary: a fixed deterministic ALU loop
+    * (~1 s on an uncontended core). This host's effective CPU per
+    * vCPU-second varies 2.5-4× on ~10-minute cycles (measured canary 2.3 s
+    * vs 9.8 s with the guest idle), so every SCALING line carries the
+    * canary measured right before it — the reader can see which samples
+    * ran in host bad weather, and min-of-N lands on the clean ones. The
+    * reported walls are NEVER canary-corrected. */
+  private def canarySec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 400000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 0) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val coreList = args(1).split(",").map(_.trim.toInt).toSeq
@@ -68,12 +84,18 @@ object ScalingSuite {
         Console.flush()
       } else {
         pinSelf(cores)
+        val bcastMb = sys.env.getOrElse("GRAFT_BCAST_MB", "32").toLong
         val spark = SparkSession.builder()
           .master(s"local[$cores]")
           .appName(s"graft-scaling-$cores")
           .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
           .config("spark.sql.adaptive.enabled", "true")
-          .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+          // 32 MB, NOT the round-2 128 MB: at ≥300k docs the feature table's
+          // ESTIMATED size still fit 128 MB, so the attach joins planned as
+          // broadcasts whose real deserialized build is ~1 GB — a
+          // single-threaded driver-side stall that ate minutes of the
+          // scaling points. A shuffle join is the correct plan at that size.
+          .config("spark.sql.autoBroadcastJoinThreshold", (bcastMb * 1024 * 1024).toString)
           // small corpus needs small splits to exercise all cores: a real
           // 100 TB input has millions of natural splits
           .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
@@ -117,9 +139,10 @@ object ScalingSuite {
           }
         }
         val best = (Seq(first) ++ (2 to runs).map(_ => timed())).min
+        val canary = canarySec()
         spark.stop()
         lastWall(cores) = best
-        println(f"SCALING $cores $best%.2f")
+        println(f"SCALING $cores $best%.2f canary=$canary%.2f")
         Console.flush()
       }
     }

@@ -13,7 +13,7 @@ object TimeQuery {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
       .config("spark.local.dir", "/tmp/graft-spark-local")

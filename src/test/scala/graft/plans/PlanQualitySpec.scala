@@ -76,6 +76,26 @@ class PlanQualitySpec extends SparkSpec {
       s"expected codegen'd projection:\n$plan")
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // every SparkEntry query must optimize to a keyed or broadcast join —
+    // a CartesianProduct node means a join lost its equi-condition in a
+    // refactor. (1-row broadcast build sides — the DF-stop set, metric
+    // cross-combines — compile to BroadcastNestedLoopJoin, which is fine
+    // and excluded from this check.)
+    val sfDir = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      // er/pipeline queries execute eagerly (checkpointed loops) — plan
+      // shape is asserted by their own specs; skip the expensive builds
+      if (!Set("er_pipeline", "er_clone_pairs", "cc_components",
+          "dedup_minhash", "dedup_simhash", "embedding_neardup",
+          "ann_lsh_topk", "ann_topk", "mm_decode_frames").contains(name)) {
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"query $name plans a cartesian product:\n$plan")
+      }
+    }
+  }
+
   test("scorer is narrow and feature attach joins are broadcast at small scale") {
     import spark.implicits._
     val pages = CorpusGen.pages(spark, 300L, seed = 42L, partitions = 2).cache()
