@@ -494,6 +494,30 @@ object SparkEntry {
         .select(col("doc_id"), col("fp_raw"), col("fp_norm"))
     }),
 
+    "t6_deterministic_sample" -> ((s, dir) => {
+      // deterministic Bernoulli sampling (training-data pipeline): decision
+      // is a pure function of (key, salt) — replay-identical under retries
+      // and repartitioning, exactly replayable in any engine with md5
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val sampled = text.Sampling.deterministicSample(d, "doc_id", 0.25, "r3")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+
+    "split_leakage_safe" -> ((s, dir) => {
+      // leakage-safe train/val/test: the whole group (here: source) lands
+      // in ONE split — same-entity rows never straddle train/test
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      text.Sampling.groupSplit(d, "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "r3")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_groups"))
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -884,6 +908,25 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5
         |FROM documents""".stripMargin,
+
+    "t6_deterministic_sample" ->
+      // rate 0.25 over the first 8 md5 hex chars: threshold 0x40000000
+      """WITH k AS (SELECT lang,
+        |    substring(md5(doc_id::VARCHAR || 'r3'), 1, 8) AS h FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN h < '40000000' THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "split_leakage_safe" ->
+      // cumulative thresholds: 0.8 -> cccccccc, 0.9 -> e6666666
+      """SELECT split, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT source)::BIGINT AS n_groups
+        |FROM (SELECT source,
+        |    CASE WHEN substring(md5(source || 'r3'), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5(source || 'r3'), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling & leakage-safe splitting for training-data
+ * pipelines (the operations a corpus-preparation run needs between dedup
+ * and batching; companions to the reference's dataset assembly at
+ * `/root/reference/relik/retriever/data/datasets.py` — the reference
+ * shuffles/subsamples in-memory, which cannot work at corpus scale).
+ *
+ * Scale + reproducibility design:
+ *  - Decisions are pure per-row functions of (key, salt) — no RNG state, no
+ *    `rand()` (nondeterministic under task retries!), no shuffle, no
+ *    driver coordination; a resumed or re-partitioned job samples
+ *    IDENTICALLY.
+ *  - The uniform variate is the first 8 hex chars of md5(key ⊕ salt)
+ *    compared against a precomputed hex threshold — string comparison on
+ *    fixed-width lowercase hex equals numeric comparison, and md5 is
+ *    available bit-identically in every engine (exact cross-engine
+ *    replay, unlike xxhash64 seeds or Spark's `rand`).
+ *  - `groupSplit` assigns the WHOLE group by hashing the group key:
+ *    same-entity/same-cluster rows can never straddle train/test — the
+ *    leakage rule every ER/linkage paper requires.
+ */
+object Sampling {
+
+  /** Hex threshold for a rate in [0,1] over the first 8 md5 hex chars. */
+  private def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val v = math.min((rate * 4294967296.0).toLong, 4294967295L)
+    f"$v%08x"
+  }
+
+  /** Uniform [0,1)-equivalent hex variate for a key column. */
+  def unitHex(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 8)
+
+  /**
+   * Deterministic Bernoulli sample: keep rows with variate < rate.
+   * Exact replay: `substring(md5(key || salt), 1, 8) < '<thresholdHex>'`
+   * in any engine with md5.
+   */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double,
+                          salt: String = "graft"): DataFrame =
+    df.filter(unitHex(col(keyCol), salt) < lit(thresholdHex(rate)))
+
+  /**
+   * Leakage-safe split column: every row of a group gets the same split
+   * label, chosen by the group key's variate against cumulative weight
+   * thresholds. Weights need not sum to 1 (normalized internally).
+   */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 weights: Seq[(String, Double)],
+                 salt: String = "graft-split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0))
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val v = unitHex(col(groupCol), salt)
+    val expr = weights.zip(cum).dropRight(1).foldRight(
+        lit(weights.last._1): Column) { case (((name, _), c), acc) =>
+      when(v < lit(thresholdHex(c)), name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + leakage-safe splits (training-data pipeline). */
+class SamplingSpec extends SparkSpec {
+
+  test("sample decision is a pure function of (key, salt): repartition-invariant") {
+    import spark.implicits._
+    val d1 = spark.range(0, 2000, 1, 2).select($"id".cast("long").as("k"))
+    val d2 = spark.range(0, 2000, 1, 13).select($"id".cast("long").as("k"))
+    val s1 = Sampling.deterministicSample(d1, "k", 0.3, "t").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(d2, "k", 0.3, "t").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "partitioning must not change the sample")
+    // rate lands near 0.3 (md5 is uniform; 2000 draws)
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.04, s"rate ${s1.size / 2000.0}")
+    // md5-prefix semantics match java's MessageDigest exactly (engine parity)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val manual = (0L until 2000L).filter { k =>
+      val hex = md.digest(s"${k}t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.substring(0, 8) < "4ccccccc" // 0.3 * 2^32 = 1288490188 = 0x4ccccccc
+    }.toSet
+    assert(s1 == manual)
+  }
+
+  test("groupSplit: whole group in one split, weights respected") {
+    import spark.implicits._
+    val d = spark.range(0, 5000).select(
+      $"id".as("doc"), concat(lit("g"), ($"id" % 500).cast("string")).as("grp"))
+    val sp = Sampling.groupSplit(d, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+    val leaks = sp.groupBy($"grp").agg(countDistinct($"split").as("k"))
+      .filter($"k" > 1).count()
+    assert(leaks == 0, "a group must never straddle splits")
+    val byueSplit = sp.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byueSplit.keySet == Set("train", "val", "test"))
+    assert(byueSplit("train") > byueSplit("val") && byueSplit("train") > byueSplit("test"))
+    assert(math.abs(byueSplit("train") / 5000.0 - 0.8) < 0.06)
+  }
+}
