@@ -61,7 +61,7 @@ object Bench {
     * `deadlineEpochSec` + grace. Returns cores -> all completed samples. */
   private def spawnScalingSuite(corpusDir: String, coreList: Seq[Int],
                                 runs: Int, deadlineEpochSec: Long,
-                                onUpdate: Map[Int, Seq[(Double, Double)]] => Unit): Map[Int, Seq[(Double, Double)]] = {
+                                onUpdate: Map[Int, Seq[(Double, Double, Double)]] => Unit): Map[Int, Seq[(Double, Double, Double)]] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val heapGb = math.max(6, (coreList.max * 3) / 4)
     val cmd = Seq(javaBin,
@@ -81,16 +81,17 @@ object Bench {
     pb.environment().put("MALLOC_MMAP_THRESHOLD_", "1073741824")
     val proc = pb.start()
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, (Double, Double))]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, (Double, Double, Double))]
     val reader = new Thread(() => {
       val src = scala.io.Source.fromInputStream(proc.getInputStream)
       try src.getLines().foreach { l =>
         if (l.startsWith("SCALING ")) {
           val parts = l.split(" ")
-          val canary = parts.find(_.startsWith("canary="))
-            .map(_.stripPrefix("canary=").toDouble).getOrElse(-1.0)
+          def field(k: String) = parts.find(_.startsWith(k))
+            .map(_.stripPrefix(k).toDouble).getOrElse(-1.0)
           val snapshot = results.synchronized {
-            results += (parts(1).toInt -> (parts(2).toDouble, canary))
+            results += (parts(1).toInt ->
+              (parts(2).toDouble, field("canary="), field("canary_par=")))
             results.toSeq
           }
           System.err.println(s"[bench] $l") // progress visible in driver logs
@@ -129,6 +130,8 @@ object Bench {
       // exercise all cores — see ScalingRun for the rationale
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L * 1024 * 1024).toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -238,7 +241,7 @@ object Bench {
     //      overrun the deadline and the parent keeps whatever completed
     val coreSet = Seq(cpus, midCores, loCores).distinct
 
-    def emitFull(samples: Map[Int, Seq[(Double, Double)]]): Unit = {
+    def emitFull(samples: Map[Int, Seq[(Double, Double, Double)]]): Unit = {
       val scaling = samples.map { case (c, ss) =>
         val best = ss.map(_._1).min
         c -> (benchDocs / best, best, ss)
@@ -252,8 +255,11 @@ object Bench {
         case (c, (tput, sec, ss)) =>
           // every sample published with its host-weather canary (see
           // ScalingSuite.canarySec) so variance is interpretable
-          val all = ss.map { case (w, cn) => f"[$w%.1f,$cn%.2f]" }.mkString("[", ",", "]")
-          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_pairs":$all}"""
+          // [wall, 1-thread canary, c-thread canary] per sample: the last
+          // two expose host throttling and effective-core capping
+          val all = ss.map { case (w, cn, cp) => f"[$w%.1f,$cn%.2f,$cp%.2f]" }
+            .mkString("[", ",", "]")
+          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_canarypar":$all}"""
       }.mkString(",")
       val erBench =
         f""""er_bench":{"docs":$benchDocs,"pinned":true,$scalingJson""" +
@@ -276,7 +282,7 @@ object Bench {
       try spawnScalingSuite(corpusDir, schedule, timedRuns, deadlineEpoch, emitFull)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scaling suite failed: $e")
-        Map.empty[Int, Seq[(Double, Double)]] }
+        Map.empty[Int, Seq[(Double, Double, Double)]] }
     // final line (same shape as the rolling updates; harmless repeat)
     emitFull(samples)
   }

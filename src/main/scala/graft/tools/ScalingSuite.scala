@@ -63,6 +63,27 @@ object ScalingSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Parallel canary: `n` threads of the same loop, all pinned inside the
+    * current affinity mask. If the host really provides n cores, wall ≈
+    * the single-thread time; effective parallelism = n·t1/tn. This exposes
+    * host-side core capping that the single-core canary cannot see (a
+    * "local[32]" point whose 32-thread canary runs 2.5× slower than its
+    * 1-thread canary is really running on ~13 effective cores). */
+  private def canaryParSec(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 400000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 0) println("")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val coreList = args(1).split(",").map(_.trim.toInt).toSeq
@@ -97,9 +118,20 @@ object ScalingSuite {
           // scaling points. A shuffle join is the correct plan at that size.
           .config("spark.sql.autoBroadcastJoinThreshold", (bcastMb * 1024 * 1024).toString)
           // small corpus needs small splits to exercise all cores: a real
-          // 100 TB input has millions of natural splits
-          .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+          // 100 TB input has millions of natural splits. 8 MB (not round-2's
+          // 4 MB): ~140 splits on the 1.1 GB bench corpus still saturates 32
+          // cores while halving per-task scheduling overhead — scan-task
+          // launches are serial floor paid at every cluster size
+          .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
           .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+          // hash joins over sort-merge where a side fits per-partition
+          // memory: the attach/score joins shuffle ~1M+ rows whose sort adds
+          // CPU at every point; SHJ skips both sorts (same answer, same
+          // shuffle keys)
+          .config("spark.sql.join.preferSortMergeJoin", "false")
+          // finer post-shuffle targets keep CPU-heavy reduce stages at full
+          // parallelism even when AQE coalesces by size
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L * 1024 * 1024).toString)
           .config("spark.local.dir", "/tmp/graft-spark-local")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
@@ -140,9 +172,10 @@ object ScalingSuite {
         }
         val best = (Seq(first) ++ (2 to runs).map(_ => timed())).min
         val canary = canarySec()
+        val canaryPar = canaryParSec(cores)
         spark.stop()
         lastWall(cores) = best
-        println(f"SCALING $cores $best%.2f canary=$canary%.2f")
+        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f")
         Console.flush()
       }
     }
