@@ -909,6 +909,65 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS payload_md5
         |FROM documents""".stripMargin,
 
+    "mm_decode_frames" ->
+      // Full DuckDB replay of the stub decode chain (Multimodal.decodeStub +
+      // sampleFrames): synthetic payload bytes = mix64(i*8191+j)&0xff (len
+      // ≥ 64, so the 32-byte header prefix is always full), signed-byte
+      // ×31 fold, mix64 of the fold, duration/frame arithmetic. 64-bit
+      // wrap-around is simulated in HUGEINT: a*b mod 2^64 splits the
+      // multiplicand (hi*b mod 2^32)·2^32 + lo·b to stay under the 128-bit
+      // ceiling; >> on a non-negative HUGEINT < 2^64 is the logical shift.
+      """WITH RECURSIVE media AS (
+        |  SELECT i::HUGEINT AS media_id, (i % 3) AS k FROM range(0, 200) t(i)
+        |),
+        |b0 AS (
+        |  SELECT m.media_id, s.j, (m.media_id * 8191 + s.j)::HUGEINT AS v
+        |  FROM media m, range(0, 32) s(j)
+        |),
+        |b1 AS (SELECT media_id, j, xor(v, v >> 33) AS v FROM b0),
+        |b2 AS (SELECT media_id, j,
+        |    (((v >> 32) * 18397679294719823053::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |      + (v & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS v FROM b1),
+        |b3 AS (SELECT media_id, j, xor(v, v >> 33) AS v FROM b2),
+        |b4 AS (SELECT media_id, j,
+        |    (((v >> 32) * 14181476777654086739::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |      + (v & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS v FROM b3),
+        |b5 AS (SELECT media_id, j,
+        |    CASE WHEN (xor(v, v >> 33) & 255::HUGEINT) > 127
+        |         THEN (xor(v, v >> 33) & 255::HUGEINT) - 256
+        |         ELSE xor(v, v >> 33) & 255::HUGEINT END AS sb FROM b4),
+        |fold AS (
+        |  SELECT media_id, 0::BIGINT AS j, 1125899906842597::HUGEINT AS acc FROM media
+        |  UNION ALL
+        |  SELECT f.media_id, f.j + 1,
+        |    ((f.acc * 31 + b.sb) % 18446744073709551616::HUGEINT
+        |      + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM fold f JOIN b5 b ON b.media_id = f.media_id AND b.j = f.j
+        |  WHERE f.j < 32
+        |),
+        |h1 AS (SELECT media_id, xor(acc, acc >> 33) AS v FROM fold WHERE j = 32),
+        |h2 AS (SELECT media_id,
+        |    (((v >> 32) * 18397679294719823053::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |      + (v & 4294967295::HUGEINT) * 18397679294719823053::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS v FROM h1),
+        |h3 AS (SELECT media_id, xor(v, v >> 33) AS v FROM h2),
+        |h4 AS (SELECT media_id,
+        |    (((v >> 32) * 14181476777654086739::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |      + (v & 4294967295::HUGEINT) * 14181476777654086739::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS v FROM h3),
+        |h5 AS (SELECT media_id, xor(v, v >> 33) AS v FROM h4),
+        |nf AS (
+        |  SELECT h.media_id,
+        |    LEAST(8, GREATEST(1, ((CASE WHEN m.k = 0 THEN 0::HUGEINT
+        |                           ELSE (h.v >> 13) % 600000 END) // 30000)::BIGINT)) AS n
+        |  FROM h5 h JOIN media m USING (media_id)
+        |)
+        |SELECT nf.media_id::BIGINT AS media_id, f.f::INT AS frame_idx,
+        |  (f.f * 30000)::BIGINT AS offset_ms
+        |FROM nf, range(0, 8) f(f) WHERE f.f < nf.n""".stripMargin,
+
     "t6_deterministic_sample" ->
       // rate 0.25 over the first 8 md5 hex chars: threshold 0x40000000
       """WITH k AS (SELECT lang,

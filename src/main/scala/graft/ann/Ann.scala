@@ -83,7 +83,11 @@ object Ann {
   /** Observability for the always-k top-up (no-silent-caps rule): how many
     * queries missed k candidates in the primary buckets, how many still
     * missed after the coarse multi-probe pass, and how many chunked exact
-    * passes the residue needed. Set by `lshTopK`/`queryIndex`. */
+    * passes the residue needed. Set by `lshTopK`/`queryIndex`.
+    *
+    * LAST-CALL-WINS: this is a process-global diagnostic, overwritten by
+    * every top-up run; under concurrent ANN queries it reflects whichever
+    * finished last (each run also logs its own stats line to stderr). */
   case class TopUpStats(sparsePrimary: Long, sparseAfterCoarse: Long, exactChunks: Int)
   @volatile var lastTopUpStats: TopUpStats = TopUpStats(0, 0, 0)
 
@@ -109,10 +113,15 @@ object Ann {
    * @param corpus  (id, vec) neighbor pool — must be persisted by the caller
    * @param queriesV (id, vec) query set (= corpus for self-join usage)
    * @param ranked0 (query_id, neighbor_id, cosine, rank) primary candidates
+   * @return (result, scratch): `scratch` is the intermediate localCheckpoint
+   *         storage (coarse re-rank + per-chunk exact results) that the
+   *         CALLER must unpersist after materializing its own final
+   *         checkpoint of `result` — freeing it here would pull the rug from
+   *         under the still-lazy result plan
    */
   private def completeTopK(corpus: DataFrame, queriesV: DataFrame,
                            ranked0: DataFrame, k: Int,
-                           cfg: LshConfig): DataFrame = {
+                           cfg: LshConfig): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus
@@ -126,7 +135,7 @@ object Ann {
     if (n1 == 0) {
       sparse1.unpersist(blocking = false)
       lastTopUpStats = TopUpStats(0, 0, 0)
-      return fullRanked
+      return (fullRanked, Nil)
     }
 
     // coarse pass: same seed, half the bits -> superset buckets
@@ -177,7 +186,9 @@ object Ann {
     val out = (Seq(fullRanked, coarseOnly) ++ exact).reduce(_ unionByName _)
     sparse1.unpersist(blocking = false)
     sparse2.unpersist(blocking = false)
-    out
+    val scratch = (coarseRanked +: exact)
+      .flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd)
+    (out, scratch)
   }
 
   /**
@@ -233,8 +244,12 @@ object Ann {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     val ranked = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     val qv = q.select(col("qid").as("id"), col("qvec").as("vec"))
-    val out = completeTopK(vectors, qv, ranked, k, cfg)
-      .localCheckpoint(eager = true)
+    val (completed, scratch) = completeTopK(vectors, qv, ranked, k, cfg)
+    val out = completed.localCheckpoint(eager = true)
+    // final checkpoint materialized above — the top-up's intermediate
+    // checkpoint blocks are dead; free them now (long-lived bench JVMs
+    // otherwise accumulate them for the session lifetime)
+    scratch.foreach(_.unpersist(blocking = false))
     vectors.unpersist(blocking = false)
     out
   }
@@ -273,7 +288,9 @@ object Ann {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
 
-    val out = completeTopK(v, v, ranked, k, cfg).localCheckpoint(eager = true)
+    val (completed, scratch) = completeTopK(v, v, ranked, k, cfg)
+    val out = completed.localCheckpoint(eager = true)
+    scratch.foreach(_.unpersist(blocking = false)) // see queryIndex
     v.unpersist(blocking = false)
     out
   }

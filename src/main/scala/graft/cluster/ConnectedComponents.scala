@@ -31,19 +31,35 @@ import org.apache.spark.storage.StorageLevel
  */
 object ConnectedComponents {
 
-  /** Fixed fan-in for the per-iteration edge checkpoint. The converging edge
-    * set is TINY relative to the input (thin id pairs), but a checkpoint
-    * inheriting the full shuffle-partition count spawns that many map tasks
-    * per downstream stage PER ITERATION — measured ~1 s/iteration of pure
-    * scheduling on a 1.6k-edge graph (64 near-empty tasks × ~6 stages × 6
-    * iterations is the serial floor the north-rule scaling measurement pays
-    * at every cluster size). A fixed small constant keeps the job IDENTICAL
-    * across cluster sizes (the scaling rule compares the same job) and
-    * costs nothing at web scale: iteration parallelism is bounded by the
-    * SHUFFLE partition count (AQE-coalesced by data size), not by the
-    * checkpoint fan-in. Env-overridable for A/B measurement only. */
+  /** Floor fan-in for the per-iteration edge checkpoint and loop shuffles.
+    * The converging edge set is TINY relative to the input (thin id pairs),
+    * but a checkpoint inheriting the full shuffle-partition count spawns
+    * that many map tasks per downstream stage PER ITERATION — measured
+    * ~1 s/iteration of pure scheduling on a 1.6k-edge graph (64 near-empty
+    * tasks × ~6 stages × 6 iterations is the serial floor the north-rule
+    * scaling measurement pays at every cluster size). Env-overridable for
+    * A/B measurement only. */
   private def ccFanIn: Int =
     sys.env.get("GRAFT_CC_FANIN").map(_.toInt).getOrElse(16)
+
+  /** Target thin-edge rows per loop shuffle partition (~60-100 MB of
+    * (url, url) pairs). Env-overridable for A/B measurement only. */
+  private def rowsPerPartition: Long =
+    sys.env.get("GRAFT_CC_ROWS_PER_PARTITION").map(_.toLong).getOrElse(500000L)
+
+  /** Shuffle-partition count for one loop iteration, sized from the CURRENT
+    * edge count: `max(ccFanIn, edges / rowsPerPartition)`. At bench scale
+    * (≤ a few hundred k edges) this is the fixed small fan-in that cut the
+    * measured serial floor (scheduling ~1 s/iteration of near-empty tasks);
+    * at web scale (10^9+ edges) the first large-star/small-star iterations
+    * get data-proportional parallelism instead of funnelling the full edge
+    * set through 16 reduce tasks, and the count DECAYS with the edge set as
+    * contraction converges. Capped at 200k partitions (2 shuffle-file-count
+    * orders above any sane cluster default) purely as an overflow guard. */
+  private[cluster] def loopShufflePartitions(edgeCount: Long): Int = {
+    val byData = (edgeCount + rowsPerPartition - 1) / rowsPerPartition
+    math.max(ccFanIn.toLong, math.min(byData, 200000L)).toInt
+  }
 
   /**
    * @param edges DataFrame with two string columns (default url_a/url_b)
@@ -79,21 +95,45 @@ object ConnectedComponents {
     // NOT coalesced: a narrow coalesce here would cap the FUSED final stage
     // of the whole upstream pipeline (join + score + dedup partials land in
     // the same stage) at ccFanIn tasks — measured 600+ CPU-seconds starved
-    // onto 16 tasks at 400k docs. Only the in-loop checkpoints (tiny,
-    // fixed-size data) use the small fan-in.
-    var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    // onto 16 tasks at 400k docs. Only the in-loop checkpoints (sized from
+    // the shrinking edge count) use the small fan-in.
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
       .localCheckpoint(eager = true)
 
-    if (e.isEmpty) return (e.select($"u".as("url"), $"v".as("cluster_id")), None)
+    val initialEdges = e0.count() // cheap: counts the checkpoint blocks
+    if (initialEdges == 0L)
+      return (e0.select($"u".as("url"), $"v".as("cluster_id")), None)
+
+    // The iterative loop's serial floor is (stage waves) × (per-wave
+    // scheduling latency), paid identically at every cluster size — the
+    // north-rule scaling measurement's biggest fixed cost. Two levers:
+    //  - shuffle partitions sized from the CURRENT edge count (see
+    //    loopShufflePartitions): near-empty reduce tasks per wave are pure
+    //    scheduling overhead at bench scale, while a pinned small constant
+    //    would funnel a web-scale edge set through 16 tasks;
+    //  - AQE off: adaptive execution materializes and replans at every
+    //    exchange — the right call for the big one-shot stages upstream,
+    //    pure per-wave latency on a fixed-shape iteration.
+    // Both are scoped to a CLONED session (spark.newSession() shares the
+    // SparkContext and the builder's initial conf but has its own mutable
+    // SQL conf), so concurrent queries on the caller's session never plan
+    // under the loop's degraded config and nested runs can't stomp each
+    // other's settings. The checkpointed edge RDD is re-bound to the clone
+    // without copying (ColumnBridge.rebindToSession).
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    var parts = loopShufflePartitions(initialEdges)
+    loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    var e = org.apache.spark.sql.graftbridge.ColumnBridge.rebindToSession(loop, e0)
 
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     var converged = false
     var iter = 0
     var lastSig: (Long, Long) = (-1L, -1L)
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] =
-      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e)
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e0)
 
     // one large-star + small-star application (Kiveris et al.)
     def starRound(in: DataFrame): DataFrame = {
@@ -120,31 +160,13 @@ object ConnectedComponents {
         .distinct()
     }
 
-    // The iterative loop's serial floor is (stage waves) × (per-wave
-    // scheduling latency), paid identically at every cluster size — the
-    // north-rule scaling measurement's biggest fixed cost. Two levers,
-    // applied for the LOOP ONLY (the upstream edge materialization already
-    // ran under the session config, and the conf is restored before the
-    // downstream assignment executes):
-    //  - shuffle partitions = ccFanIn: the converging edge set is thin id
-    //    pairs; 64 near-empty reduce tasks per wave are pure scheduling
-    //    overhead (measured ~1 s/iteration on a 1.6k-edge graph);
-    //  - AQE off: adaptive execution materializes and replans at every
-    //    exchange — the right call for the big one-shot stages upstream,
-    //    pure per-wave latency on a fixed tiny iteration.
-    val conf = spark.conf
-    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = conf.get("spark.sql.adaptive.enabled")
-    conf.set("spark.sql.shuffle.partitions", ccFanIn.toString)
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try {
     while (!converged && iter < maxIterations) {
       val iterT0 = System.nanoTime()
       val small = starRound(e)
 
       // lazy checkpoint: the checksum aggregate below materializes it, so
       // each loop pass is ONE job instead of checkpoint-then-aggregate
-      val next = small.coalesce(ccFanIn).localCheckpoint(eager = false)
+      val next = small.coalesce(parts).localCheckpoint(eager = false)
       // xor-fold checksum: order-independent, overflow-free under ANSI mode
       val sig = next
         .agg(count(lit(1)).as("c"),
@@ -156,14 +178,17 @@ object ConnectedComponents {
       // waiting for the async ContextCleaner (GC-stall avoidance)
       prevBlocks.foreach(_.unpersist(blocking = false))
       prevBlocks = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(next)
-      if (verbose) println(f"[cc] iter=$iter edges=${sig._1} sec=${(System.nanoTime() - iterT0) / 1e9}%.2f converged=$converged")
+      // decay the loop parallelism with the contracting edge set (the
+      // checksum already counted it — no extra job)
+      val nextParts = loopShufflePartitions(sig._1)
+      if (nextParts != parts) {
+        parts = nextParts
+        loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      }
+      if (verbose) println(f"[cc] iter=$iter edges=${sig._1} parts=$parts sec=${(System.nanoTime() - iterT0) / 1e9}%.2f converged=$converged")
       lastSig = sig
       e = next
       iter += 1
-    }
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     if (!converged)
       // star-contraction halves component diameter per round, so 50 rounds

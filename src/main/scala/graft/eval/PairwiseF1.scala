@@ -86,10 +86,18 @@ object PairwiseF1 {
                       clusters: DataFrame): DataFrame = {
     val spark = goldPairs.sparkSession
     import spark.implicits._
-    val pos = goldPairs.filter($"is_match").select($"url_a", $"url_b")
+    // canonicalize pair orientation on BOTH inputs before the is_cand join:
+    // gold and candidate sets from different producers need not agree on
+    // (a,b) vs (b,a) order, and a verbatim join would overcount
+    // fn_not_candidate for every flipped pair. The cluster-id lookups are
+    // orientation-independent (per-url joins).
+    val pos = goldPairs.filter($"is_match").select(
+      least($"url_a", $"url_b").as("url_a"), greatest($"url_a", $"url_b").as("url_b"))
     val ca = clusters.select($"url".as("url_a"), $"cluster_id".as("cid_a"))
     val cb = clusters.select($"url".as("url_b"), $"cluster_id".as("cid_b"))
-    val cand = candidatePairs.select($"url_a", $"url_b").distinct()
+    val cand = candidatePairs.select(
+        least($"url_a", $"url_b").as("url_a"), greatest($"url_a", $"url_b").as("url_b"))
+      .distinct()
       .withColumn("is_cand", lit(1L))
     pos
       .join(ca, Seq("url_a"), "left")

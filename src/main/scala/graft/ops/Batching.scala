@@ -59,9 +59,20 @@ object Batching {
     // Range partitioning on the full sort key makes each partition a
     // contiguous slice of the global (group, tokens, id) order, so
     // rank = (rows of this group in earlier partitions) + local row_number.
+    //
+    // Materialized EAGERLY (checkpoint pins pid alongside the rows): both
+    // consumers below — the wLocal window and the offsets aggregate — must
+    // see the SAME physical range partitioning, and without an explicit
+    // materialization that only holds while Catalyst's exchange-reuse
+    // optimization fires (RangePartitioner samples boundaries with an
+    // RDD-id-derived seed; two independent instantiations of the exchange
+    // could pick different boundaries and silently corrupt batch ids). The
+    // checkpoint blocks are reclaimed by the ContextCleaner once the result
+    // is dropped.
     val ranged = in
       .repartitionByRange(shuffleP, $"group", $"n_tokens", $"id")
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy($"pid", $"group").orderBy($"n_tokens", $"id")
     val local = ranged.withColumn("local_rn", row_number().over(wLocal))

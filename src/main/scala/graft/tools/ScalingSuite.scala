@@ -156,6 +156,13 @@ object ScalingSuite {
         ErPipeline.run(CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)).count()
         stats.clear()
 
+        // host-weather canary BEFORE the timed window (paired with one after;
+        // the reported canary is the WORSE of the two, so a throttle phase
+        // starting or ending mid-run can't masquerade as a clean sample —
+        // round-3 published only a post-run canary and the driver's minima
+        // landed on samples whose cleanliness was unknowable)
+        val canaryPre = canarySec()
+
         def timed(): Double = {
           val t0 = System.nanoTime()
           ErPipeline.run(spark.read.parquet(corpusDir)
@@ -171,11 +178,12 @@ object ScalingSuite {
           }
         }
         val best = (Seq(first) ++ (2 to runs).map(_ => timed())).min
-        val canary = canarySec()
+        val canaryPost = canarySec()
+        val canary = math.max(canaryPre, canaryPost)
         val canaryPar = canaryParSec(cores)
         spark.stop()
         lastWall(cores) = best
-        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f")
+        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f")
         Console.flush()
       }
     }

@@ -27,4 +27,17 @@ object ColumnBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
+
+  /**
+   * Re-bind a (typically localCheckpoint'ed) Dataset to another session of
+   * the SAME SparkContext, wrapping its physical RDD without re-executing or
+   * copying. Iterative algorithms use this to run their convergence loop on
+   * a cloned `spark.newSession()` whose SQL conf they can tune freely
+   * (shuffle partitions, AQE) without mutating the caller's session —
+   * `conf.set` on a shared session leaks into any query planned concurrently.
+   */
+  def rebindToSession(session: org.apache.spark.sql.SparkSession,
+                      df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
 }

@@ -50,6 +50,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "b" -> "b", "c" -> "c"))
   }
 
+  test("loop shuffle partitions scale with the edge count and floor at the fan-in") {
+    // bench scale: small converging edge sets keep the measured-serial-floor
+    // fan-in; web scale: partitions grow with data instead of funnelling a
+    // billion-row edge set through 16 reduce tasks
+    assert(ConnectedComponents.loopShufflePartitions(0L) == 16)
+    assert(ConnectedComponents.loopShufflePartitions(1600L) == 16)
+    assert(ConnectedComponents.loopShufflePartitions(300000L) == 16)
+    assert(ConnectedComponents.loopShufflePartitions(50000000L) == 100)
+    assert(ConnectedComponents.loopShufflePartitions(1000000000L) == 2000)
+    assert(ConnectedComponents.loopShufflePartitions(1000000000000L) == 200000) // overflow-guard cap
+  }
+
+  test("converge never mutates the caller session's SQL conf") {
+    import spark.implicits._
+    val before = (spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.adaptive.enabled"))
+    val edges = (1 until 30).map(i => (f"c$i%03d", f"c${i + 1}%03d")).toDF("url_a", "url_b")
+    val out = ConnectedComponents.run(edges)
+    // the loop runs on a cloned session; probe the caller conf DURING the
+    // lazy tail (run() already converged eagerly) and after full collect
+    assert((spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.adaptive.enabled")) == before)
+    assert(out.count() == 30)
+    assert((spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.get("spark.sql.adaptive.enabled")) == before)
+  }
+
   test("single chain collapses to min") {
     import spark.implicits._
     val edges = (1 until 20).map(i => (f"x$i%03d", f"x${i + 1}%03d")).toDF("url_a", "url_b")
