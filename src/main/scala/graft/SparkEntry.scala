@@ -203,6 +203,13 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"), col("col").as("sentence"))
     }),
 
+    "p2b_sentence_windows" -> ((s, dir) => {
+      // sentence-mode window dispatch (annotator.py:338-352 → WindowManager
+      // sample shape): window_id + char offset + text slice per sentence
+      merge.Windows.createWindows(t(s, dir, "documents"), "doc_id", "text",
+        merge.Windows.WindowMode.Sentence)
+    }),
+
     "json_extract" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_id"),
@@ -613,6 +620,52 @@ object SparkEntry {
     }))
 
   /** DuckDB-equivalent SQL per oracle-checked query (column names match). */
+  /**
+   * Shared DuckDB recursive replay of `SplitSentences` (P2): leftmost
+   * `[.!?] +[A-Z]` candidate (RE2 non-greedy; no lookaround in DuckDB, so
+   * the uppercase char is captured and re-prefixed), rejected when the token
+   * ending at the punctuation is a known abbreviation or an initials token
+   * `([a-z]\.)+`; emitted sentences carry their trailing spaces (concat ==
+   * text). The abbreviation list MUST stay identical to
+   * `SentenceKernels.ABBREV`. Ends with `emitted(doc_id, sentence, pos)`.
+   */
+  private val p2SentenceScanCte: String =
+    """WITH RECURSIVE w(doc_id, rest, pending, k, emit, sentence) AS (
+      |  SELECT doc_id, text, '', -1, false, '' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    CASE WHEN g1 = '' THEN ''
+      |         ELSE substring(rest, length(g1) + length(g2) + 1) END,
+      |    CASE WHEN g1 = '' THEN ''
+      |         WHEN is_abbrev THEN pending || g1 || g2 ELSE '' END,
+      |    CASE WHEN g1 <> '' AND NOT is_abbrev THEN k + 1 ELSE k END,
+      |    CASE WHEN g1 = '' THEN rest <> '' OR pending <> ''
+      |         ELSE NOT is_abbrev END,
+      |    CASE WHEN g1 = '' THEN pending || rest
+      |         WHEN is_abbrev THEN '' ELSE pending || g1 || g2 END
+      |  FROM (
+      |    SELECT doc_id, rest, pending, k, g1, g2,
+      |      (ltok IN
+      |        ('mr.','mrs.','ms.','dr.','prof.','sr.','jr.','st.','gen.',
+      |         'gov.','sen.','rep.','rev.','hon.','capt.','lt.','sgt.','col.',
+      |         'inc.','corp.','ltd.','co.','dept.','univ.','vs.','etc.',
+      |         'e.g.','i.e.','no.','fig.','al.','approx.','vol.','pp.',
+      |         'ed.','eds.','cf.','ca.','est.',
+      |         'mt.','ave.','blvd.','jan.','feb.','mar.','apr.','aug.',
+      |         'sept.','oct.','nov.','dec.')
+      |       OR regexp_matches(ltok, '^([a-z]\.)+$')) AS is_abbrev
+      |    FROM (
+      |      SELECT doc_id, rest, pending, k,
+      |        regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 1) AS g1,
+      |        regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 2) AS g2,
+      |        lower(regexp_extract(regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 1),
+      |          '([^ ]*)$', 1)) AS ltok
+      |      FROM w WHERE rest <> '') s0) s),
+      |emitted AS (
+      |  SELECT doc_id, sentence,
+      |    CASE WHEN rest = '' THEN k + 1 ELSE k END AS pos
+      |  FROM w WHERE emit)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -678,38 +731,20 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
 
     "p2_sentence_split" ->
-      // recursive replay of the abbreviation-aware boundary scan: leftmost
-      // `[.!?] +[A-Z]` candidate (RE2 non-greedy; no lookaround in DuckDB,
-      // so the uppercase char is captured and re-prefixed), rejected when
-      // the token ending at the punctuation is a known abbreviation;
-      // emitted sentences carry their trailing spaces (concat == text)
-      """WITH RECURSIVE w(doc_id, rest, pending, k, emit, sentence) AS (
-        |  SELECT doc_id, text, '', -1, false, '' FROM documents
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    CASE WHEN g1 = '' THEN ''
-        |         ELSE substring(rest, length(g1) + length(g2) + 1) END,
-        |    CASE WHEN g1 = '' THEN ''
-        |         WHEN is_abbrev THEN pending || g1 || g2 ELSE '' END,
-        |    CASE WHEN g1 <> '' AND NOT is_abbrev THEN k + 1 ELSE k END,
-        |    CASE WHEN g1 = '' THEN rest <> '' OR pending <> ''
-        |         ELSE NOT is_abbrev END,
-        |    CASE WHEN g1 = '' THEN pending || rest
-        |         WHEN is_abbrev THEN '' ELSE pending || g1 || g2 END
-        |  FROM (
-        |    SELECT doc_id, rest, pending, k,
-        |      regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 1) AS g1,
-        |      regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 2) AS g2,
-        |      lower(regexp_extract(regexp_extract(rest, '(?s)^(.*?[.!?])( +)([A-Z])', 1),
-        |        '([^ ]*)$', 1)) IN
-        |        ('mr.','mrs.','ms.','dr.','prof.','sr.','jr.','st.','vs.',
-        |         'etc.','e.g.','i.e.','no.','fig.','al.','approx.') AS is_abbrev
-        |    FROM w WHERE rest <> '') s),
-        |emitted AS (
-        |  SELECT doc_id, sentence,
-        |    CASE WHEN rest = '' THEN k + 1 ELSE k END AS pos
-        |  FROM w WHERE emit)
-        |SELECT doc_id, pos, sentence FROM emitted""".stripMargin,
+      // recursive replay of the abbreviation-aware boundary scan (shared
+      // CTE prefix, see p2SentenceScanCte)
+      (p2SentenceScanCte + "\nSELECT doc_id, pos, sentence FROM emitted"),
+
+    "p2b_sentence_windows" ->
+      // sentence-mode windows: same boundary replay; each window's char
+      // offset = running sum of prior sentence lengths (sentences partition
+      // the text, so offsets are exact substring positions)
+      (p2SentenceScanCte + """
+        |SELECT doc_id, pos::INT AS window_id,
+        |  coalesce(sum(length(sentence)) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS char_offset,
+        |  sentence AS window_text
+        |FROM emitted""".stripMargin),
 
     "json_extract" ->
       """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events""",

@@ -28,12 +28,40 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object SentenceKernels {
 
-  /** Lowercased tokens that end with `.` but do not end a sentence. */
+  /** Lowercased tokens that end with `.` but do not end a sentence. The
+    * DuckDB oracle replay in `SparkEntry.oracleSql("p2_sentence_split")` /
+    * `("p2b_sentence_windows")` carries the IDENTICAL list — extend both in
+    * lockstep. */
   val ABBREV: java.util.Set[String] = {
     val s = new java.util.HashSet[String]()
-    Seq("mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "vs.",
-      "etc.", "e.g.", "i.e.", "no.", "fig.", "al.", "approx.").foreach(s.add)
+    Seq(
+      // titles / honorifics
+      "mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "gen.",
+      "gov.", "sen.", "rep.", "rev.", "hon.", "capt.", "lt.", "sgt.", "col.",
+      // corporate / citation
+      "inc.", "corp.", "ltd.", "co.", "dept.", "univ.", "vs.", "etc.",
+      "e.g.", "i.e.", "no.", "fig.", "al.", "approx.", "vol.", "pp.",
+      "ed.", "eds.", "cf.", "ca.", "est.",
+      // places / months
+      "mt.", "ave.", "blvd.", "jan.", "feb.", "mar.", "apr.", "aug.",
+      "sept.", "oct.", "nov.", "dec.").foreach(s.add)
     s
+  }
+
+  /** Initials pattern `([a-z]\.)+` on the LOWERCASED token — covers "J.",
+    * "J.R.", "U.S.", "a.m." without enumerating them. Mirrored in the
+    * DuckDB oracle as `regexp_matches(ltok, '^([a-z]\.)+$')`. */
+  def isInitials(lowerTok: String): Boolean = {
+    val n = lowerTok.length
+    if (n < 2 || (n & 1) == 1) return false
+    var i = 0
+    while (i < n) {
+      val c = lowerTok.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      if (lowerTok.charAt(i + 1) != '.') return false
+      i += 2
+    }
+    true
   }
 
   private def isBoundaryPunct(c: Char): Boolean = c == '.' || c == '!' || c == '?'
@@ -54,7 +82,7 @@ object SentenceKernels {
           var ts = i
           while (ts > start && str.charAt(ts - 1) != ' ') ts -= 1
           val lastTok = str.substring(ts, i + 1).toLowerCase(java.util.Locale.ROOT)
-          if (!ABBREV.contains(lastTok)) {
+          if (!ABBREV.contains(lastTok) && !isInitials(lastTok)) {
             out += UTF8String.fromString(str.substring(start, j))
             start = j
           }

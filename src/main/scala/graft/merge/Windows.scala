@@ -59,6 +59,75 @@ object Windows {
         i => slice(arr, i * n + 1, lit(n))))
   }
 
+  /** 3-way windowing dispatch (the reference's `annotator.py:338-352`:
+    * `window_size ∈ {none, sentence, int}` selects Blank / Spacy / Window
+    * sentence splitters feeding `WindowManager.create_windows`). */
+  sealed trait WindowMode
+  object WindowMode {
+    /** `window_size = "none"`: the whole document is one window. */
+    case object NoSplit extends WindowMode
+    /** `window_size = "sentence"`: one window per sentence
+      * (`split_sentences` boundaries; sentences partition the text). */
+    case object Sentence extends WindowMode
+    /** integer `window_size`: sliding token window, right-aligned last
+      * (`window_based_splitter.py:34-66`). */
+    final case class Tokens(size: Int, stride: Int) extends WindowMode
+  }
+
+  /**
+   * One entry point for all three window modes, producing the reference's
+   * window sample shape in doc coordinates
+   * (`manager.py:159-167`: window_id, char offset of the window's first
+   * token, text slice `document[start:end]`):
+   *
+   *   (key, window_id INT, char_offset INT, window_text STRING)
+   *
+   * Pure column algebra in every branch — the explode fan-out is the only
+   * row-count change, nothing shuffles, and the scan stays narrow (the text
+   * column is consumed where it is read).
+   */
+  def createWindows(df: DataFrame, keyCol: String, textCol: String,
+                    mode: WindowMode): DataFrame = {
+    import graft.functions.GraftFunctions.{split_sentences, tokenize_offsets}
+    val key = col(keyCol)
+    mode match {
+      case WindowMode.NoSplit =>
+        df.select(key, lit(0).as("window_id"), lit(0).as("char_offset"),
+          col(textCol).as("window_text"))
+
+      case WindowMode.Sentence =>
+        // sentences partition the text (concat == text), so each window's
+        // char offset is the running sum of prior sentence lengths —
+        // computed as a linear scanLeft, not a per-sentence re-slice
+        val sents = split_sentences(col(textCol))
+        df.select(key, sents.as("sents"))
+          .withColumn("offs",
+            aggregate(col("sents"), array(lit(0)),
+              (acc, s) => concat(acc, array(element_at(acc, -1) + length(s)))))
+          .select(key, col("offs"), posexplode(col("sents")))
+          .select(key, col("pos").as("window_id"),
+            element_at(col("offs"), col("pos") + 1).as("char_offset"),
+            col("col").as("window_text"))
+
+      case WindowMode.Tokens(winSize, winStride) =>
+        // token windows with the right-aligned-last contract; the text
+        // slice spans first-token start .. last-token end, exactly the
+        // reference's `document[window_text_start:window_text_end]`
+        val toks = tokenize_offsets(col(textCol))
+        df.select(key, col(textCol).as("t"), toks.as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(key, col("t"), col("toks"),
+            posexplode(windowStarts(size(col("toks")), winSize, winStride)).as(Seq("pos", "off")))
+          .select(key, col("pos").as("window_id"),
+            element_at(col("toks"), col("off") + 1).getField("idx").as("start"),
+            element_at(col("toks"),
+              least(col("off") + winSize, size(col("toks")))).getField("idx_end").as("end"),
+            col("t"))
+          .select(key, col("window_id"), col("start").as("char_offset"),
+            substring(col("t"), col("start") + 1, col("end") - col("start")).as("window_text"))
+    }
+  }
+
   /**
    * Inverse of splitTokens for stride ≤ size: group windows per key, sort by
    * offset, fold with overlap-drop — each window contributes the slice past

@@ -30,6 +30,33 @@ class SentencesSpec extends SparkSpec {
       Seq("Prices rose (see Fig. 3). ", "Nothing else moved. ", "OK"))
   }
 
+  test("widened abbreviation model: corporate, places, months, initials") {
+    assert(split("Acme Inc. The merger closed. Done") ==
+      Seq("Acme Inc. The merger closed. ", "Done"))
+    assert(split("He works at Foo Corp. Ltd. His desk is small.") ==
+      Seq("He works at Foo Corp. Ltd. His desk is small."))
+    assert(split("Born in the U.S. He moved. Later he returned.") ==
+      Seq("Born in the U.S. He moved. ", "Later he returned."))
+    // initials pattern, not in the enumerated list
+    assert(split("J. R. Tolkien wrote. Then he rested.") ==
+      Seq("J. R. Tolkien wrote. ", "Then he rested."))
+    assert(split("On Jan. Mt. Rainier was climbed. It snowed.") ==
+      Seq("On Jan. Mt. Rainier was climbed. ", "It snowed."))
+    // a real boundary still splits even when the last word is short
+    assert(split("It was hot. Very hot.") == Seq("It was hot. ", "Very hot."))
+  }
+
+  test("isInitials accepts ([a-z].)+ only") {
+    assert(SentenceKernels.isInitials("j."))
+    assert(SentenceKernels.isInitials("j.r."))
+    assert(SentenceKernels.isInitials("u.s."))
+    assert(!SentenceKernels.isInitials("."))
+    assert(!SentenceKernels.isInitials("jr."))
+    assert(!SentenceKernels.isInitials("2."))
+    assert(!SentenceKernels.isInitials("j.r"))
+    assert(!SentenceKernels.isInitials(""))
+  }
+
   test("partition invariant: concat(sentences) == text, any input") {
     val texts = Seq(
       "Mr. A met Mrs. B. They talked! For hours? Yes.  Double space. End",

@@ -48,6 +48,39 @@ class WindowsSpec extends SparkSpec {
     assert(out(3L) == Seq.empty)
   }
 
+  test("createWindows 3-way dispatch (annotator.py none/sentence/int)") {
+    import spark.implicits._
+    val text = "Dr. Smith arrived. He sat down. Then he left fast."
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+
+    // none: whole doc, one window at offset 0
+    val none = Windows.createWindows(df, "doc_id", "text", Windows.WindowMode.NoSplit)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(none == Seq((0, 0, text)))
+
+    // sentence: windows partition the text; offset = exact substring position
+    val sent = Windows.createWindows(df, "doc_id", "text", Windows.WindowMode.Sentence)
+      .orderBy("window_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(sent.map(_._3).mkString == text)
+    assert(sent.map(_._3) == Seq("Dr. Smith arrived. ", "He sat down. ", "Then he left fast."))
+    sent.foreach { case (_, off, w) =>
+      assert(text.substring(off, off + w.length) == w, s"offset $off wrong for '$w'")
+    }
+    assert(sent.map(_._1) == sent.indices.toSeq)
+
+    // tokens: slice spans first-token start .. last-token end; right-aligned
+    // last window (10 whitespace tokens, size 4 stride 3 -> starts 0,3,6)
+    val tok = Windows.createWindows(df, "doc_id", "text", Windows.WindowMode.Tokens(4, 3))
+      .orderBy("window_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val words = text.split(" ")
+    assert(tok.map(_._3) == Seq(0, 3, 6).map(s => words.slice(s, s + 4).mkString(" ")))
+    tok.foreach { case (_, off, w) =>
+      assert(text.substring(off, off + w.length) == w, s"token-window offset $off wrong")
+    }
+  }
+
   test("split ∘ merge == identity (column fold and typed Aggregator)") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
