@@ -39,6 +39,48 @@ class DedupSpec extends SparkSpec {
         Dedup.MinHashConfig(verifyJaccard = 0.5))
       .collect().map(r => r.getAs[String]("doc_id").toLong -> r.getAs[String]("group_id")).toMap
 
+  test("output is invariant under input partitioning and row order (first/min contracts)") {
+    // the two documented determinism contracts: `first(hashes)` over a
+    // setkey group (every row carries the identical array) and the star
+    // center `min(struct)` — perturb physical layout and row order, assert
+    // byte-identical logical output
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val fam = (0 until 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta common text"))
+    val near = (40 until 60).map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta common word$i"))
+    val rows = rnd.shuffle(fam ++ near)
+    val layouts = Seq(
+      rows.toDF("doc_id", "text").repartition(1),
+      rows.toDF("doc_id", "text").repartition(13, col("doc_id")),
+      rows.reverse.toDF("doc_id", "text").repartition(7, col("text")),
+      rnd.shuffle(rows).toDF("doc_id", "text").orderBy(desc("doc_id")))
+    val outs = layouts.map { df =>
+      Dedup.minhashNearDupGroups(df, "doc_id", "text",
+          Dedup.MinHashConfig(verifyJaccard = 0.5, maxBlock = 8))
+        .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[String]("group_id")))
+        .sortBy(identity).toSeq
+    }
+    outs.tail.foreach(o => assert(o == outs.head, "partitioning changed near-dup output"))
+  }
+
+  test("star-center pairs are invariant under partitioning (min(struct) contract)") {
+    import spark.implicits._
+    val members = (0 until 30).map(i => ("hot", f"m$i%03d"))
+    val layouts = Seq(
+      members.toDF("key", "id").repartition(1),
+      members.reverse.toDF("key", "id").repartition(11, col("id")),
+      new scala.util.Random(5).shuffle(members).toDF("key", "id").repartition(3))
+    val outs = layouts.map { df =>
+      Dedup.blockPairs(df.select(col("key"), col("id")), struct(col("id")),
+          cap = 8, oversizedStar = true)
+        .select(col("a.id"), col("b.id")).collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(identity).toSeq
+    }
+    // center must be the min id, paired with every other member exactly once
+    assert(outs.head == (1 until 30).map(i => ("m000", f"m$i%03d")).sortBy(identity))
+    outs.tail.foreach(o => assert(o == outs.head, "partitioning changed star pairs"))
+  }
+
   test("simhash pairs detect planted near-dups") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
         Dedup.SimHashConfig(maxHamming = 8, segments = 16))
