@@ -40,9 +40,18 @@ import graft.pipeline.ErPipeline
  */
 object ScalingSuite {
 
-  private def pinSelf(cores: Int): Unit = {
+  /** Pin the whole process to a `cores`-wide CPU window. The window ROTATES
+    * with the per-core-count sample index: the host sometimes throttles
+    * specific vCPUs (observed: clean 1-thread canary on cpu0 with an
+    * 8-thread canary 3× slower on cpus 0-7), so always pinning 0..n-1 would
+    * re-sample the same bad cores every pass. Rotation costs nothing when
+    * the host is uniform and diversifies the draw when it isn't. */
+  private def pinSelf(cores: Int, sampleIdx: Int): Unit = {
+    val total = Runtime.getRuntime.availableProcessors()
+    val start = (sampleIdx.toLong * cores % math.max(total, cores)).toInt
+    val cpus = (0 until cores).map(i => (start + i) % math.max(total, cores))
     val pid = ProcessHandle.current().pid()
-    val p = new ProcessBuilder("taskset", "-apc", s"0-${cores - 1}", pid.toString)
+    val p = new ProcessBuilder("taskset", "-apc", cpus.mkString(","), pid.toString)
       .redirectErrorStream(true).start()
     p.waitFor()
   }
@@ -97,6 +106,7 @@ object ScalingSuite {
 
     // rolling wall estimate per core count, for the deadline guard
     val lastWall = scala.collection.mutable.Map.empty[Int, Double]
+    val sampleIdx = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
 
     coreList.foreach { cores =>
       val estimate = lastWall.getOrElse(cores, 60.0) * (runs + 0.5)
@@ -104,7 +114,8 @@ object ScalingSuite {
         println(s"SCALING_SKIP $cores deadline")
         Console.flush()
       } else {
-        pinSelf(cores)
+        pinSelf(cores, sampleIdx(cores))
+        sampleIdx(cores) += 1
         val bcastMb = sys.env.getOrElse("GRAFT_BCAST_MB", "32").toLong
         val spark = SparkSession.builder()
           .master(s"local[$cores]")
