@@ -59,9 +59,13 @@ object Bench {
     * child prints each `SCALING <cores> <sec>` line as the point finishes,
     * and is hard-killed (with partial results kept) if it outlives
     * `deadlineEpochSec` + grace. Returns cores -> all completed samples. */
+  /** Per-sample record: wall, canary (worst pre/post bracket), parallel
+    * canary, in-run probe canary (0 when no probe ran). */
+  type Sample = (Double, Double, Double, Double)
+
   private def spawnScalingSuite(corpusDir: String, coreList: Seq[Int],
                                 runs: Int, deadlineEpochSec: Long,
-                                onUpdate: Map[Int, Seq[(Double, Double, Double)]] => Unit): Map[Int, Seq[(Double, Double, Double)]] = {
+                                onUpdate: Map[Int, Seq[Sample]] => Unit): Map[Int, Seq[Sample]] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val heapGb = math.max(6, (coreList.max * 3) / 4)
     val cmd = Seq(javaBin,
@@ -81,7 +85,7 @@ object Bench {
     pb.environment().put("MALLOC_MMAP_THRESHOLD_", "1073741824")
     val proc = pb.start()
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, (Double, Double, Double))]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Sample)]
     val reader = new Thread(() => {
       val src = scala.io.Source.fromInputStream(proc.getInputStream)
       try src.getLines().foreach { l =>
@@ -91,7 +95,8 @@ object Bench {
             .map(_.stripPrefix(k).toDouble).getOrElse(-1.0)
           val snapshot = results.synchronized {
             results += (parts(1).toInt ->
-              (parts(2).toDouble, field("canary="), field("canary_par=")))
+              (parts(2).toDouble, field("canary="), field("canary_par="),
+                math.max(0.0, field("canary_during="))))
             results.toSeq
           }
           System.err.println(s"[bench] $l") // progress visible in driver logs
@@ -252,7 +257,7 @@ object Bench {
     val emitLock = new Object
     var finalEmitted = false
 
-    def emitFull(samples: Map[Int, Seq[(Double, Double, Double)]],
+    def emitFull(samples: Map[Int, Seq[Sample]],
                  isFinal: Boolean = false): Unit = emitLock.synchronized {
       if (finalEmitted) return
       if (isFinal) finalEmitted = true
@@ -266,16 +271,20 @@ object Bench {
       def fmt(o: Option[Double]): String = o.map(e => f"$e%.3f").getOrElse("null")
 
       // SELF-QUALIFYING SAMPLES (north-rule protocol, round 4): every sample
-      // carries its host-weather canaries (1-thread, worst of pre/post, and
-      // the c-thread parallel canary — see ScalingSuite). A sample is CLEAN
-      // iff BOTH hold:
+      // carries its host-weather canaries (1-thread worst-of-pre/post, the
+      // c-thread parallel canary, and the worst in-run outside-mask probe —
+      // see ScalingSuite/WeatherProbe). A sample is CLEAN iff ALL hold:
       //  (a) 1-thread canary within 15% of the session's best — the host
-      //      wasn't throttling per-cycle CPU during the window;
+      //      wasn't throttling per-cycle CPU at the window edges;
       //  (b) canary_par ≤ 1.5 × canary — c pinned ALU threads really ran
       //      ~concurrently, i.e. the host actually provided ~c cores
       //      (observed failure mode: clean 1-thread canary with an 8-thread
-      //      canary 3× slower = local[8] on ~3 effective cores, which
-      //      silently destroys the measured N-vs-4N ratio).
+      //      canary 3× slower = local[8] on ~3 effective cores);
+      //  (c) in-run probe max ≤ 1.5 × session best — no throttle window
+      //      hidden INSIDE the run (observed: a 5×-throttled 194 s wall
+      //      whose pre AND post canaries both read clean). The probe gate
+      //      is looser than (a) because a max over ~30 draws sits above a
+      //      single draw even in steady weather.
       // The headline efficiency is computed from the fastest CLEAN sample
       // on each side of the rule pair when both exist; otherwise it falls
       // back to the raw minima and the result is flagged `throttled` — the
@@ -285,7 +294,9 @@ object Bench {
       val bestCanary = allCanaries.minOption
       def cleanBest(c: Int): Option[(Double, Double)] = bestCanary.flatMap { b =>
         val clean = samples.getOrElse(c, Nil).filter(s =>
-          s._2 > 0 && s._2 <= b * 1.15 && (s._3 <= 0 || s._3 <= s._2 * 1.5))
+          s._2 > 0 && s._2 <= b * 1.15 &&
+            (s._3 <= 0 || s._3 <= s._2 * 1.5) &&
+            (s._4 <= 0 || s._4 <= b * 1.5))
         clean.sortBy(_._1).headOption.map(s => (s._1, s._2))
       }
       val cleanLo = cleanBest(loCores)
@@ -301,11 +312,12 @@ object Bench {
 
       val scalingJson = coreSet.flatMap(c => scaling.get(c).map(c -> _)).map {
         case (c, (tput, sec, ss)) =>
-          // every sample published with its host-weather canary:
-          // [wall, worst 1-thread canary, c-thread canary] per sample
-          val all = ss.map { case (w, cn, cp) => f"[$w%.1f,$cn%.2f,$cp%.2f]" }
+          // every sample published with its host-weather canaries:
+          // [wall, worst pre/post 1-thread canary, c-thread canary,
+          //  worst in-run probe] per sample
+          val all = ss.map { case (w, cn, cp, cd) => f"[$w%.1f,$cn%.2f,$cp%.2f,$cd%.2f]" }
             .mkString("[", ",", "]")
-          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_canarypar":$all}"""
+          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_par_during":$all}"""
       }.mkString(",")
       val erBench =
         f""""er_bench":{"docs":$benchDocs,"pinned":true,$scalingJson""" +
@@ -340,7 +352,7 @@ object Bench {
       try spawnScalingSuite(corpusDir, schedule, timedRuns, deadlineEpoch, emitFull(_))
       catch { case e: Throwable =>
         System.err.println(s"[bench] scaling suite failed: $e")
-        Map.empty[Int, Seq[(Double, Double, Double)]] }
+        Map.empty[Int, Seq[Sample]] }
     // final line (same shape as the rolling updates; latches the emit lock)
     emitFull(samples, isFinal = true)
   }

@@ -46,7 +46,7 @@ object ScalingSuite {
     * 8-thread canary 3× slower on cpus 0-7), so always pinning 0..n-1 would
     * re-sample the same bad cores every pass. Rotation costs nothing when
     * the host is uniform and diversifies the draw when it isn't. */
-  private def pinSelf(cores: Int, sampleIdx: Int): Unit = {
+  private def pinSelf(cores: Int, sampleIdx: Int): Int = {
     val total = Runtime.getRuntime.availableProcessors()
     val start = (sampleIdx.toLong * cores % math.max(total, cores)).toInt
     val cpus = (0 until cores).map(i => (start + i) % math.max(total, cores))
@@ -54,6 +54,7 @@ object ScalingSuite {
     val p = new ProcessBuilder("taskset", "-apc", cpus.mkString(","), pid.toString)
       .redirectErrorStream(true).start()
     p.waitFor()
+    start
   }
 
   /** Single-core host-weather canary: a fixed deterministic ALU loop
@@ -93,6 +94,31 @@ object ScalingSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Start the probe JVM on `cpu`; returns (process, max-seen getter). */
+  private def startWeatherProbe(cpu: Int): (Process, () => Double) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val pb = new ProcessBuilder("taskset", "-c", cpu.toString, javaBin,
+      "-Xms64m", "-Xmx64m", "-cp", System.getProperty("java.class.path"),
+      "graft.tools.WeatherProbe", "5000")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(0L) // bits of a Double
+    val reader = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      try src.getLines().foreach { l =>
+        if (l.startsWith("PROBE ")) {
+          val v = l.stripPrefix("PROBE ").toDouble
+          maxSeen.updateAndGet(prev =>
+            java.lang.Double.doubleToLongBits(
+              math.max(java.lang.Double.longBitsToDouble(prev), v)))
+        }
+      } catch { case _: Throwable => () } finally src.close()
+    })
+    reader.setDaemon(true)
+    reader.start()
+    (proc, () => java.lang.Double.longBitsToDouble(maxSeen.get()))
+  }
+
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val coreList = args(1).split(",").map(_.trim.toInt).toSeq
@@ -114,7 +140,7 @@ object ScalingSuite {
         println(s"SCALING_SKIP $cores deadline")
         Console.flush()
       } else {
-        pinSelf(cores, sampleIdx(cores))
+        val winStart = pinSelf(cores, sampleIdx(cores))
         sampleIdx(cores) += 1
         val bcastMb = sys.env.getOrElse("GRAFT_BCAST_MB", "32").toLong
         val spark = SparkSession.builder()
@@ -167,12 +193,24 @@ object ScalingSuite {
         ErPipeline.run(CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)).count()
         stats.clear()
 
-        // host-weather canary BEFORE the timed window (paired with one after;
-        // the reported canary is the WORSE of the two, so a throttle phase
-        // starting or ending mid-run can't masquerade as a clean sample —
-        // round-3 published only a post-run canary and the driver's minima
-        // landed on samples whose cleanliness was unknowable)
+        // host-weather canary BEFORE the timed window (paired with one
+        // after and with the in-run WeatherProbe below; the reported canary
+        // is the WORST of the three, so a throttle phase starting, ending,
+        // or sitting entirely INSIDE the run can't masquerade as a clean
+        // sample — round-3 published only a post-run canary and the
+        // driver's minima landed on samples whose cleanliness was
+        // unknowable; a round-4 trial caught a 5×-throttled run whose
+        // pre AND post canaries both read clean)
         val canaryPre = canarySec()
+        // in-run probe on the first CPU past the job's window (host
+        // throttling is VM-wide, so an outside-mask observer sees it
+        // without perturbing the pinned job); absent when the job owns
+        // every CPU
+        val total = Runtime.getRuntime.availableProcessors()
+        val probe = if (cores < total) {
+          try Some(startWeatherProbe((winStart + cores) % total))
+          catch { case _: Throwable => None }
+        } else None
 
         def timed(): Double = {
           val t0 = System.nanoTime()
@@ -189,12 +227,18 @@ object ScalingSuite {
           }
         }
         val best = (Seq(first) ++ (2 to runs).map(_ => timed())).min
+        // canary = worst of the two point-in-time brackets (tight gate);
+        // canary_during = worst in-run probe sample (separate, LOOSER gate
+        // in Bench: a max over ~30 draws is statistically above a single
+        // draw even in steady weather, so it only vetoes clear throttling)
+        val canaryDuring = probe.map(_._2()).getOrElse(0.0)
+        probe.foreach(_._1.destroyForcibly())
         val canaryPost = canarySec()
         val canary = math.max(canaryPre, canaryPost)
         val canaryPar = canaryParSec(cores)
         spark.stop()
         lastWall(cores) = best
-        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f")
+        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_during=$canaryDuring%.2f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f cpu_window=$winStart")
         Console.flush()
       }
     }
