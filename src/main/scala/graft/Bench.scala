@@ -183,18 +183,29 @@ object Bench {
       "events_hourly", "stream_windowed", "er_pipeline", "er_clone_pairs",
       "a1_triplet_merge", "rel_per_relation", "p2_sentence_split")
 
+    def phase(name: String): Unit =
+      System.err.println(s"[bench] phase $name t+${(System.currentTimeMillis() - wallT0) / 1000}s")
+
     // warm-up pass at the SMALLEST available scale factor (same generated
     // codegen classes, ~100× cheaper): JIT/codegen compile time stays out
     // of the timed numbers (BASELINE.md protocol) without spending the
-    // wall-clock budget the scaling suite needs
+    // wall-clock budget the scaling suite needs. CAPPED at 120 s: under
+    // host throttling this phase once ate ~10 min of the budget (round-4
+    // trial 3) — an unwarmed query's timed number includes its JIT cost
+    // (slightly inflated), which is a far better trade than starving the
+    // north-rule scaling measurement.
+    phase("warmup_start")
     val warmDir = Seq("sf0.001", "sf0.01")
       .map(sf => sfDir.replaceFirst("sf[0-9.]+$", sf))
       .find(d => d != sfDir && new java.io.File(d).isDirectory)
       .getOrElse(sfDir)
+    val warmDeadline = System.currentTimeMillis() + 120000L
     headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      if (System.currentTimeMillis() < warmDeadline)
+        try SparkEntry.queries(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
     }
+    phase("warmup_done")
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
@@ -229,6 +240,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir""""
 
     // headline line out NOW — a later timeout can no longer zero the round
+    phase("headline_done")
     println(headlineJson + "}")
     Console.flush()
 
@@ -240,6 +252,7 @@ object Bench {
         .write.mode("overwrite").parquet(corpusDir)
     }
     spark.stop()
+    phase("corpus_ready")
 
     // ---- scaling (north rule): identical job + input at N=2, 4N=8, 16N=32
     //      cores, one CPU-pinned child JVM for all points, HIGH core count
