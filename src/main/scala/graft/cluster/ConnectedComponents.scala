@@ -1,14 +1,14 @@
 package graft.cluster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Transitive clustering (SURVEY.md §2.5 A6): iterative large-star/small-star
  * connected components over the match-edge DataFrame — the Kiveris et al.
  * "Connected Components in MapReduce and Beyond" algorithm expressed as pure
- * joins + aggregations (no GraphX/RDD; `input_hint` forbids RDDs unless
+ * window aggregates (no GraphX/RDD; `input_hint` forbids RDDs unless
  * forced, and GraphFrames isn't in /opt/spark/jars).
  *
  * This is the scale-out analog of the reference's window-merge transitivity
@@ -17,12 +17,27 @@ import org.apache.spark.storage.StorageLevel
  * edges are merged into components in O(log n) rounds.
  *
  * Scale notes (10^12 nodes):
- *  - each round is two joins + two aggregations, all hash-partitioned on the
- *    node id — no collect_list of neighborhoods, so a celebrity node never
- *    materializes its adjacency in one task;
+ *  - each star application is ONE hash-shuffle-and-sort (a window min over
+ *    `partitionBy(node)`), not a groupBy + join back — the join variant
+ *    shuffles the symmetric edge set twice per star and costs two extra
+ *    stage waves per iteration, which is pure serial floor on a converging
+ *    loop. WindowExec's per-group buffer is spillable, so a celebrity node's
+ *    neighborhood never has to fit in memory (it streams through one task —
+ *    the same placement a hash join would give it);
  *  - `localCheckpoint` truncates lineage every round (else the plan doubles);
- *  - convergence is detected by an (count, xor-of-hashes) checksum — one
- *    cheap aggregate per round instead of a full `except`.
+ *  - convergence is detected by a (count, xor-of-hashes) checksum — one
+ *    cheap aggregate per round instead of a full `except`;
+ *  - once the contracted edge set fits a fixed driver budget (default 2M
+ *    thin pairs, see [[localFinishEdges]]) the component closure finishes
+ *    with an in-memory union-find instead of more star rounds. The star
+ *    loop contracts geometrically, so at 10^12 documents it still does all
+ *    the heavy lifting (~8 rounds to reach 2M edges); what the local finish
+ *    replaces is the TAIL — each remaining round is a full ~3-stage-wave
+ *    job over a near-empty edge set, pure scheduling latency paid
+ *    identically at every cluster size (the north-rule scaling
+ *    measurement's largest fixed cost, profiled at ~2 s/iteration × 6
+ *    iterations at bench scale). Same bounded-driver-step class as the
+ *    ANN top-up chunking (graft.ann.Ann.completeTopK).
  *
  * Node ids are STRING urls: correct at any scale (no 64-bit hash-collision
  * risk at 10^12 rows) at the cost of wider shuffles; cluster_id is the
@@ -47,6 +62,17 @@ object ConnectedComponents {
   private def rowsPerPartition: Long =
     sys.env.get("GRAFT_CC_ROWS_PER_PARTITION").map(_.toLong).getOrElse(500000L)
 
+  /** Driver budget for the union-find finish: edge sets at or below this
+    * row count are collected and closed in memory. 2M (url, url) pairs at
+    * ~60 B/url is ≲ 250 MB of driver heap transiently — the same order as
+    * one collected ANN top-up chunk, and two orders below the driver heap
+    * any production Spark cluster runs with. 0 disables the local finish
+    * (distributed star rounds all the way to fixpoint — the path the
+    * property tests pin against the union-find oracle). Env-overridable
+    * for A/B measurement only. */
+  private[cluster] def localFinishEdges: Long =
+    sys.env.get("GRAFT_CC_LOCAL_EDGES").map(_.toLong).getOrElse(2000000L)
+
   /** Shuffle-partition count for one loop iteration, sized from the CURRENT
     * edge count: `max(ccFanIn, edges / rowsPerPartition)`. At bench scale
     * (≤ a few hundred k edges) this is the fixed small fan-in that cut the
@@ -61,33 +87,46 @@ object ConnectedComponents {
     math.max(ccFanIn.toLong, math.min(byData, 200000L)).toInt
   }
 
+  /** Result of [[converge]]: `assign` maps child url → component root for
+    * every NON-ROOT node in the edge set ( + root self-rows iff
+    * `rootsIncluded` — the local-finish path knows them for free, the
+    * distributed fixpoint does not list roots as children). `scratch` is
+    * the checkpoint blocks to free once `assign` is materialized. */
+  private final case class Converged(
+      assign: DataFrame,
+      rootsIncluded: Boolean,
+      scratch: Option[org.apache.spark.rdd.RDD[_]])
+
   /**
    * @param edges DataFrame with two string columns (default url_a/url_b)
    * @return (url, cluster_id) for every node that appears in `edges`
    */
   def run(edges: DataFrame, aCol: String = "url_a", bCol: String = "url_b",
-          maxIterations: Int = 50): DataFrame = {
+          maxIterations: Int = 50,
+          localEdgeBudget: Long = localFinishEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val (assign, prev) = converge(edges, aCol, bCol, maxIterations)
-    // converged star edges point child -> root; roots (parents that are
-    // nobody's child) map to themselves
-    val roots = assign.select($"cluster_id".as("url"))
-      .distinct()
-      .join(assign, Seq("url"), "left_anti")
-      .select($"url", $"url".as("cluster_id"))
-    val out = assign.unionByName(roots).localCheckpoint(eager = true)
-    prev.foreach(_.unpersist(blocking = false))
+    val res = converge(edges, aCol, bCol, maxIterations, localEdgeBudget)
+    val out =
+      if (res.rootsIncluded) res.assign.localCheckpoint(eager = true)
+      else {
+        // converged star edges point child -> root; roots (parents that are
+        // nobody's child) map to themselves
+        val roots = res.assign.select($"cluster_id".as("url"))
+          .distinct()
+          .join(res.assign, Seq("url"), "left_anti")
+          .select($"url", $"url".as("cluster_id"))
+        res.assign.unionByName(roots).localCheckpoint(eager = true)
+      }
+    res.scratch.foreach(_.unpersist(blocking = false))
     out
   }
 
-  /** Star-contraction loop → (child → root) assignment for NON-ROOT nodes
-    * only (roots are absent; `run` adds them, `assignAll` covers them via
-    * its left-join + coalesce-to-self). Returns the lazy assignment plus the
-    * final checkpoint blocks for the caller to free after materializing. */
+  /** Star-contraction loop (with bounded union-find finish) → child → root
+    * assignment; see [[Converged]] for the root-row contract. */
   private def converge(edges: DataFrame, aCol: String, bCol: String,
-                       maxIterations: Int): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+                       maxIterations: Int, localEdgeBudget: Long): Converged = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -104,7 +143,15 @@ object ConnectedComponents {
 
     val initialEdges = e0.count() // cheap: counts the checkpoint blocks
     if (initialEdges == 0L)
-      return (e0.select($"u".as("url"), $"v".as("cluster_id")), None)
+      return Converged(
+        e0.select($"u".as("url"), $"v".as("cluster_id")), rootsIncluded = false, None)
+    if (initialEdges <= localEdgeBudget && localEdgeBudget > 0L) {
+      val assign = localFinish(spark, e0)
+      // assign is a local relation — independent of e0's blocks, free now
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e0)
+        .foreach(_.unpersist(blocking = false))
+      return Converged(assign, rootsIncluded = true, None)
+    }
 
     // The iterative loop's serial floor is (stage waves) × (per-wave
     // scheduling latency), paid identically at every cluster size — the
@@ -135,28 +182,38 @@ object ConnectedComponents {
     var prevBlocks: Option[org.apache.spark.rdd.RDD[_]] =
       org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e0)
 
-    // one large-star + small-star application (Kiveris et al.)
+    // One large-star + small-star application (Kiveris et al.). Each star
+    // is a single window min: one shuffle + sort on the star's center node,
+    // versus the groupBy-min + join-back formulation's two shuffles of the
+    // symmetric edge set and two extra stage waves per star.
     def starRound(in: DataFrame): DataFrame = {
       // ---- large-star: for every u, m = min(N(u) ∪ {u});
-      //      emit (v, m) for every neighbor v > u
+      //      emit (v, m) for every neighbor v > u.
+      //      Output rows satisfy u > v by construction: the emitted pair is
+      //      (v, least(min N(u), u)) with v > u ≥ least(..., u).
       val sym = in.select($"u", $"v").unionAll(in.select($"v".as("u"), $"u".as("v")))
-      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
-      val large = sym.filter($"v" > $"u")
-        .join(mins, "u")
-        .select($"v".as("nu"), least($"mv", $"u").as("nv"))
-        .filter($"nu" =!= $"nv")
-        .select($"nu".as("u"), $"nv".as("v"))
+      val large = sym
+        .withColumn("mv", min($"v").over(Window.partitionBy($"u")))
+        .filter($"v" > $"u")
+        .select($"v".as("u"), least($"mv", $"u").as("v"))
 
-      // ---- small-star: direct edges larger->smaller; for every u,
-      //      m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) and (u, m)
-      val dir = large.select(
-        greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
-      val minsS = dir.groupBy($"u").agg(min($"v").as("m"))
-      dir.join(minsS, "u")
-        .select($"v".as("nu"), $"m".as("nv"))
-        .unionAll(minsS.select($"u".as("nu"), $"m".as("nv")))
-        .filter($"nu" =!= $"nv")
-        .select($"nu".as("u"), $"nv".as("v"))
+      // ---- small-star: edges already point larger -> smaller; for every
+      //      u, m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) and (u, m) once.
+      //      first_value over the v-sorted full frame IS the group min, and
+      //      sharing the (partitionBy, orderBy) spec with row_number keeps
+      //      both in one window exchange+sort; the rn=1 row carries the
+      //      extra (u, m) emission so no second aggregate/join is needed.
+      val wS = Window.partitionBy($"u").orderBy($"v")
+      val full = wS.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      large
+        .withColumn("m", first($"v").over(full))
+        .withColumn("rn", row_number().over(wS))
+        .select(explode(when($"rn" === 1,
+            array(struct($"v".as("nu"), $"m".as("nv")),
+                  struct($"u".as("nu"), $"m".as("nv"))))
+          .otherwise(array(struct($"v".as("nu"), $"m".as("nv"))))).as("p"))
+        .select($"p.nu".as("u"), $"p.nv".as("v"))
+        .filter($"u" =!= $"v")
         .distinct()
     }
 
@@ -178,6 +235,20 @@ object ConnectedComponents {
       // waiting for the async ContextCleaner (GC-stall avoidance)
       prevBlocks.foreach(_.unpersist(blocking = false))
       prevBlocks = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(next)
+      if (verbose) println(f"[cc] iter=$iter edges=${sig._1} parts=$parts sec=${(System.nanoTime() - iterT0) / 1e9}%.2f converged=$converged")
+      lastSig = sig
+      e = next
+      iter += 1
+
+      // Contracted under the driver budget: close the remaining components
+      // in memory. Star rounds only ever shrink the surviving-node set by
+      // dropping nodes already equal to their component min, so union-find
+      // over the CURRENT edge set yields exactly the fixpoint's components.
+      if (!converged && sig._1 <= localEdgeBudget && localEdgeBudget > 0L) {
+        val assign = localFinish(spark, next)
+        prevBlocks.foreach(_.unpersist(blocking = false))
+        return Converged(assign, rootsIncluded = true, None)
+      }
       // decay the loop parallelism with the contracting edge set (the
       // checksum already counted it — no extra job)
       val nextParts = loopShufflePartitions(sig._1)
@@ -185,10 +256,6 @@ object ConnectedComponents {
         parts = nextParts
         loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
       }
-      if (verbose) println(f"[cc] iter=$iter edges=${sig._1} parts=$parts sec=${(System.nanoTime() - iterT0) / 1e9}%.2f converged=$converged")
-      lastSig = sig
-      e = next
-      iter += 1
     }
     if (!converged)
       // star-contraction halves component diameter per round, so 50 rounds
@@ -201,23 +268,76 @@ object ConnectedComponents {
     val assign = e.select(
         greatest($"u", $"v").as("url"), least($"u", $"v").as("root"))
       .groupBy($"url").agg(min($"root").as("cluster_id"))
-    (assign, prevBlocks)
+    Converged(assign, rootsIncluded = false, prevBlocks)
+  }
+
+  /** Bounded driver-side closure: collect ≤ [[localFinishEdges]] thin pairs,
+    * union-find with path compression, label every component by its
+    * lexicographic min url (the loop's deterministic labeling contract),
+    * and re-distribute the (url, cluster_id) assignment — root self-rows
+    * included. Replaces the geometric tail of near-empty star rounds whose
+    * per-round cost is pure stage-wave latency on ANY cluster size. */
+  private def localFinish(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = edges.select($"u", $"v").as[(String, String)].collect()
+
+    val idx = new java.util.HashMap[String, Int](pairs.length * 2)
+    val names = new scala.collection.mutable.ArrayBuffer[String](pairs.length)
+    def id(s: String): Int = {
+      val existing = idx.getOrDefault(s, -1)
+      if (existing >= 0) existing
+      else { idx.put(s, names.length); names += s; names.length - 1 }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](pairs.length)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ia, ib) = (id(a), id(b))
+      while (parent.length < names.length) parent += parent.length
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-url label per component root
+    val minName = new java.util.HashMap[Int, String]()
+    var i = 0
+    while (i < names.length) {
+      val r = find(i)
+      val cur = minName.get(r)
+      if (cur == null || names(i) < cur) minName.put(r, names(i))
+      i += 1
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(String, String)](names.length)
+    i = 0
+    while (i < names.length) {
+      rows += ((names(i), minName.get(find(i))))
+      i += 1
+    }
+    // LocalRelation of ≤ (2 × budget) thin rows; downstream callers
+    // checkpoint/join it, so it is shipped once like any small dimension
+    spark.createDataset(rows.toSeq).toDF("url", "cluster_id")
   }
 
   /**
    * Full assignment over a node universe: nodes absent from `edges` (and
    * component roots, which the converged star edges never list as a child)
    * become their own cluster_id via the coalesce-to-self — this skips the
-   * roots anti-join `run` needs, two shuffles fewer on the flagship path.
+   * roots anti-join `run` needs on the distributed path, two shuffles fewer
+   * on the flagship path.
    *
    * The assignment is materialized (O(nodes-in-edges) thin rows) so the
    * final iteration's checkpoint blocks are freed NOW — a long-lived bench
    * JVM otherwise accumulates one edge-set worth of storage per invocation.
    */
-  def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url"): DataFrame = {
-    val (assign, prev) = converge(edges, "url_a", "url_b", maxIterations = 50)
-    val cc = assign.localCheckpoint(eager = true)
-    prev.foreach(_.unpersist(blocking = false))
+  def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url",
+                localEdgeBudget: Long = localFinishEdges): DataFrame = {
+    val res = converge(edges, "url_a", "url_b", maxIterations = 50, localEdgeBudget)
+    val cc = res.assign.localCheckpoint(eager = true)
+    res.scratch.foreach(_.unpersist(blocking = false))
     nodes.select(col(urlCol).as("url"))
       .join(cc, Seq("url"), "left")
       .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))

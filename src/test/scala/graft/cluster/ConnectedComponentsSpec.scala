@@ -17,7 +17,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     (0 until n).map(i => i -> find(i)).toMap
   }
 
-  test("matches union-find on random graphs (property, seeded)") {
+  test("matches union-find on random graphs, local-finish AND distributed paths (property, seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 5) {
@@ -28,16 +28,41 @@ class ConnectedComponentsSpec extends SparkSpec {
 
       val edgeDf = edges.map { case (a, b) => (f"n$a%04d", f"n$b%04d") }
         .toDF("url_a", "url_b")
-      val got = ConnectedComponents.run(edgeDf)
-        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      // default budget → bounded union-find finish; budget 0 → distributed
+      // star rounds to fixpoint. Both must agree with the oracle exactly.
+      for (budget <- Seq(ConnectedComponents.localFinishEdges, 0L)) {
+        val got = ConnectedComponents.run(edgeDf, localEdgeBudget = budget)
+          .collect().map(r => (r.getString(0), r.getString(1))).toMap
 
-      // compare components as partitions over nodes that appear in edges
-      val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      for (node <- nodesInEdges) {
-        val want = f"n${expected(node)}%04d"
-        val gotC = got(f"n$node%04d")
-        assert(gotC == want, s"trial $trial node $node: got $gotC want $want")
+        // compare components as partitions over nodes that appear in edges
+        val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        for (node <- nodesInEdges) {
+          val want = f"n${expected(node)}%04d"
+          val gotC = got(f"n$node%04d")
+          assert(gotC == want, s"trial $trial budget $budget node $node: got $gotC want $want")
+        }
       }
+    }
+  }
+
+  test("mid-loop local finish (budget hit after contraction) matches fixpoint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // long chains force several star rounds, and the redundant random
+    // intra-chain edges inflate the INITIAL count (~520 distinct) well above
+    // the star fixpoint's nodes-minus-roots count (240), so a 300-edge
+    // budget is crossed mid-loop, not before it and not only at fixpoint
+    val edges = (0 until 6).flatMap { c =>
+      (0 until 40).map(i => (f"c$c%02d_${i}%03d", f"c$c%02d_${i + 1}%03d")) ++
+        Seq.fill(50)((f"c$c%02d_${rnd.nextInt(41)}%03d", f"c$c%02d_${rnd.nextInt(41)}%03d"))
+    }
+    val edgeDf = edges.filter(e => e._1 != e._2).toDF("url_a", "url_b")
+    val fixpoint = ConnectedComponents.run(edgeDf, localEdgeBudget = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    for (budget <- Seq(300L, 5000L)) {
+      val got = ConnectedComponents.run(edgeDf, localEdgeBudget = budget)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got == fixpoint, s"budget $budget diverged from distributed fixpoint")
     }
   }
 
