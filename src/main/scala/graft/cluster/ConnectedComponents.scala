@@ -90,12 +90,16 @@ object ConnectedComponents {
   /** Result of [[converge]]: `assign` maps child url → component root for
     * every NON-ROOT node in the edge set ( + root self-rows iff
     * `rootsIncluded` — the local-finish path knows them for free, the
-    * distributed fixpoint does not list roots as children). `scratch` is
-    * the checkpoint blocks to free once `assign` is materialized. */
+    * distributed fixpoint does not list roots as children). `lookup` is the
+    * local-finish broadcast labeling as an expression builder (absent node →
+    * itself), letting [[assignAll]] label a node universe with a narrow map
+    * instead of a join. `cleanup` frees checkpoint blocks / broadcasts and
+    * must run only after the caller has materialized what it needs. */
   private final case class Converged(
       assign: DataFrame,
       rootsIncluded: Boolean,
-      scratch: Option[org.apache.spark.rdd.RDD[_]])
+      lookup: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+      cleanup: () => Unit)
 
   /**
    * @param edges DataFrame with two string columns (default url_a/url_b)
@@ -119,7 +123,7 @@ object ConnectedComponents {
           .select($"url", $"url".as("cluster_id"))
         res.assign.unionByName(roots).localCheckpoint(eager = true)
       }
-    res.scratch.foreach(_.unpersist(blocking = false))
+    res.cleanup()
     out
   }
 
@@ -136,21 +140,30 @@ object ConnectedComponents {
     // the same stage) at ccFanIn tasks — measured 600+ CPU-seconds starved
     // onto 16 tasks at 400k docs. Only the in-loop checkpoints (sized from
     // the shrinking edge count) use the small fan-in.
+    val tEdges0 = System.nanoTime()
     val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
       .localCheckpoint(eager = true)
 
     val initialEdges = e0.count() // cheap: counts the checkpoint blocks
+    if (sys.env.contains("GRAFT_CC_VERBOSE"))
+      println(f"[cc] edges_materialized n=$initialEdges sec=${(System.nanoTime() - tEdges0) / 1e9}%.2f")
+    val e0Blocks = org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e0)
+    def freeE0(): Unit = e0Blocks.foreach(_.unpersist(blocking = false))
     if (initialEdges == 0L)
       return Converged(
-        e0.select($"u".as("url"), $"v".as("cluster_id")), rootsIncluded = false, None)
+        e0.select($"u".as("url"), $"v".as("cluster_id")), rootsIncluded = false,
+        None, () => freeE0())
     if (initialEdges <= localEdgeBudget && localEdgeBudget > 0L) {
-      val assign = localFinish(spark, e0)
-      // assign is a local relation — independent of e0's blocks, free now
-      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(e0)
-        .foreach(_.unpersist(blocking = false))
-      return Converged(assign, rootsIncluded = true, None)
+      val tLf0 = System.nanoTime()
+      val (assign, look, done) = localFinish(spark, e0)
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(f"[cc] local_finish sec=${(System.nanoTime() - tLf0) / 1e9}%.2f")
+      // assign reads e0 (its node set) — blocks stay alive until the caller
+      // materializes, then cleanup frees them with the label broadcast
+      return Converged(assign, rootsIncluded = true, Some(look),
+        () => { done(); freeE0() })
     }
 
     // The iterative loop's serial floor is (stage waves) × (per-wave
@@ -245,9 +258,10 @@ object ConnectedComponents {
       // dropping nodes already equal to their component min, so union-find
       // over the CURRENT edge set yields exactly the fixpoint's components.
       if (!converged && sig._1 <= localEdgeBudget && localEdgeBudget > 0L) {
-        val assign = localFinish(spark, next)
-        prevBlocks.foreach(_.unpersist(blocking = false))
-        return Converged(assign, rootsIncluded = true, None)
+        val (assign, look, done) = localFinish(spark, next)
+        val blocksNow = prevBlocks
+        return Converged(assign, rootsIncluded = true, Some(look),
+          () => { done(); blocksNow.foreach(_.unpersist(blocking = false)) })
       }
       // decay the loop parallelism with the contracting edge set (the
       // checksum already counted it — no extra job)
@@ -268,16 +282,25 @@ object ConnectedComponents {
     val assign = e.select(
         greatest($"u", $"v").as("url"), least($"u", $"v").as("root"))
       .groupBy($"url").agg(min($"root").as("cluster_id"))
-    Converged(assign, rootsIncluded = false, prevBlocks)
+    val finalBlocks = prevBlocks
+    Converged(assign, rootsIncluded = false, None,
+      () => finalBlocks.foreach(_.unpersist(blocking = false)))
   }
 
   /** Bounded driver-side closure: collect ≤ [[localFinishEdges]] thin pairs,
     * union-find with path compression, label every component by its
     * lexicographic min url (the loop's deterministic labeling contract),
-    * and re-distribute the (url, cluster_id) assignment — root self-rows
-    * included. Replaces the geometric tail of near-empty star rounds whose
-    * per-round cost is pure stage-wave latency on ANY cluster size. */
-  private def localFinish(spark: SparkSession, edges: DataFrame): DataFrame = {
+    * and BROADCAST the node → label map instead of re-creating a
+    * LocalRelation of O(nodes) rows on the driver (measured 4.5 s of
+    * single-threaded encode + a downstream shuffle join at 940k edges; the
+    * broadcast + narrow lookup costs ~1 s and no shuffle). Returns the
+    * assignment over the edge set's own (distributed, distinct) node set,
+    * the lookup expression builder for callers with a wider node universe,
+    * and the broadcast's destroy callback. Replaces the geometric tail of
+    * near-empty star rounds whose per-round cost is pure stage-wave latency
+    * on ANY cluster size. */
+  private def localFinish(spark: SparkSession, edges: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column, () => Unit) = {
     import spark.implicits._
     val pairs = edges.select($"u", $"v").as[(String, String)].collect()
 
@@ -311,15 +334,23 @@ object ConnectedComponents {
       if (cur == null || names(i) < cur) minName.put(r, names(i))
       i += 1
     }
-    val rows = new scala.collection.mutable.ArrayBuffer[(String, String)](names.length)
+    // node → component label, roots included as self-rows; ≤ 2 × budget
+    // entries ≈ the same order of driver memory as the collected pairs
+    val label = new java.util.HashMap[String, String](names.length * 2)
     i = 0
     while (i < names.length) {
-      rows += ((names(i), minName.get(find(i))))
+      label.put(names(i), minName.get(find(i)))
       i += 1
     }
-    // LocalRelation of ≤ (2 × budget) thin rows; downstream callers
-    // checkpoint/join it, so it is shipped once like any small dimension
-    spark.createDataset(rows.toSeq).toDF("url", "cluster_id")
+    val bc = spark.sparkContext.broadcast(label)
+    val look = udf { (u: String) =>
+      val v = bc.value.get(u)
+      if (v == null) u else v // absent node = its own singleton component
+    }
+    val assign = edges.select($"u".as("url")).unionAll(edges.select($"v".as("url")))
+      .distinct()
+      .select($"url", look($"url").as("cluster_id"))
+    (assign, (c: org.apache.spark.sql.Column) => look(c), () => bc.destroy())
   }
 
   /**
@@ -336,10 +367,22 @@ object ConnectedComponents {
   def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url",
                 localEdgeBudget: Long = localFinishEdges): DataFrame = {
     val res = converge(edges, "url_a", "url_b", maxIterations = 50, localEdgeBudget)
-    val cc = res.assign.localCheckpoint(eager = true)
-    res.scratch.foreach(_.unpersist(blocking = false))
-    nodes.select(col(urlCol).as("url"))
-      .join(cc, Seq("url"), "left")
-      .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+    res.lookup match {
+      case Some(look) =>
+        // local-finish path: label the universe with the broadcast map — a
+        // narrow projection, zero shuffles (absent node → itself inside the
+        // lookup). Materialized so the broadcast can be destroyed NOW.
+        val out = nodes.select(col(urlCol).as("url"),
+            look(col(urlCol)).as("cluster_id"))
+          .localCheckpoint(eager = true)
+        res.cleanup()
+        out
+      case None =>
+        val cc = res.assign.localCheckpoint(eager = true)
+        res.cleanup()
+        nodes.select(col(urlCol).as("url"))
+          .join(cc, Seq("url"), "left")
+          .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+    }
   }
 }

@@ -128,7 +128,11 @@ object ScalingSuite {
     // ONE job config for every point (the north rule compares the same job
     // at two cluster sizes; a per-size shuffle-partition count would be a
     // different job). Sized for the largest point; AQE coalesces downward.
-    val shufflePartitions = coreList.max * 2
+    // The env override exists so ad-hoc (8,2)-only runs can reproduce the
+    // bench's exact config (whose schedule includes the 32-core point →
+    // static 64) — it is ONE value for all points, never per-size.
+    val shufflePartitions = sys.env.get("GRAFT_STATIC_PARTS").map(_.toInt)
+      .getOrElse(coreList.max * 2)
 
     // rolling wall estimate per core count, for the deadline guard
     val lastWall = scala.collection.mutable.Map.empty[Int, Double]
@@ -168,7 +172,13 @@ object ScalingSuite {
           .config("spark.sql.join.preferSortMergeJoin", "false")
           // finer post-shuffle targets keep CPU-heavy reduce stages at full
           // parallelism even when AQE coalesces by size
-          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L * 1024 * 1024).toString)
+          // 16 MB kept after an A/B at 8 (theory said finer bins fix the
+          // 12-task scoring stage's 8+4 wave at 8 cores; measurement said
+          // the 2-core side sped up MORE — interleaved clean pairs read
+          // eff 0.75 @16 MB vs 0.68 @8 MB at 150k docs, both within host
+          // weather but consistently ordered). Env knob for re-measurement.
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            (sys.env.getOrElse("GRAFT_ADVISORY_MB", "16").toLong * 1024 * 1024).toString)
           .config("spark.local.dir", "/tmp/graft-spark-local")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
@@ -176,7 +186,7 @@ object ScalingSuite {
         spark.sparkContext.setLogLevel("ERROR")
 
         // optional stage telemetry: task counts expose parallelism ceilings
-        val stats = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long)]()
+        val stats = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long, Long, Long)]()
         val debug = sys.env.contains("GRAFT_STAGE_STATS")
         if (debug) spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
@@ -185,7 +195,8 @@ object ScalingSuite {
               val si = sc.stageInfo
               val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
               stats.add((si.stageId, si.name.takeWhile(_ != '\n').take(60), si.numTasks,
-                si.taskMetrics.executorRunTime, wall))
+                si.taskMetrics.executorRunTime, wall,
+                si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L)))
             }
           })
 
@@ -218,12 +229,17 @@ object ScalingSuite {
             .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])).count()
           (System.nanoTime() - t0) / 1e9
         }
+        val runT0 = System.currentTimeMillis()
         val first = timed()
         if (debug) {
           import scala.jdk.CollectionConverters._
-          val top = stats.asScala.toSeq.sortBy(-_._5).take(12)
-          top.foreach { case (id, name, tasks, run, wall) =>
-            println(f"STAGE[$cores] id=$id tasks=$tasks wall=${wall / 1e3}%.1fs cpu=${run / 1e3}%.1fs $name")
+          // full timeline in submission order: [start, end] relative to the
+          // timed run's t0 exposes stage overlap vs dead wall (a stage with
+          // big wall and ~0 cpu that OVERLAPS a busy stage is harmless; one
+          // that doesn't is serial floor)
+          val all = stats.asScala.toSeq.sortBy(_._6)
+          all.foreach { case (id, name, tasks, run, wall, sub, comp) =>
+            println(f"STAGE[$cores] id=$id tasks=$tasks [${(sub - runT0) / 1e3}%.1f-${(comp - runT0) / 1e3}%.1f] wall=${wall / 1e3}%.1fs cpu=${run / 1e3}%.1fs $name")
           }
         }
         val best = (Seq(first) ++ (2 to runs).map(_ => timed())).min
