@@ -360,9 +360,12 @@ object ConnectedComponents {
    * roots anti-join `run` needs on the distributed path, two shuffles fewer
    * on the flagship path.
    *
-   * The assignment is materialized (O(nodes-in-edges) thin rows) so the
-   * final iteration's checkpoint blocks are freed NOW — a long-lived bench
-   * JVM otherwise accumulates one edge-set worth of storage per invocation.
+   * On the local-finish path the universe is labeled by the broadcast map
+   * directly (narrow projection, materialized so the broadcast is destroyed
+   * NOW); on the distributed path the converged assignment is materialized
+   * (O(nodes-in-edges) thin rows) and left-joined, so the final iteration's
+   * checkpoint blocks are freed NOW — a long-lived bench JVM otherwise
+   * accumulates one edge-set worth of storage per invocation.
    */
   def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url",
                 localEdgeBudget: Long = localFinishEdges): DataFrame = {
