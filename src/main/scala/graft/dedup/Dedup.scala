@@ -275,9 +275,16 @@ object Dedup {
   // ----------------------------------------------------------------- util
   /**
    * Pairs within blocks keyed by `key` under the three-branch skew policy
-   * (see object doc). Block sizes come from one unordered window over the
-   * key partitioning — ONE shuffle shared by all branches; no collect_list
-   * of unbounded blocks ever happens. Output: (a, b) payload structs with
+   * (see object doc). Block sizes (and the star branch's block-min center)
+   * come from a partial-aggregable `groupBy(key).agg(count, min)` joined
+   * back on the key — NOT an unordered window: WindowExec buffers every
+   * group in a spillable row array, and fused into the same stage as the
+   * small-branch `collect_list` hash aggregate the two compete for the same
+   * task memory pool (observed `UNABLE_TO_ACQUIRE_MEMORY` at 6M docs with
+   * 32 concurrent tasks — the 100×-scale dress rehearsal, BASELINE.md).
+   * The aggregate+join costs the same ONE shuffle of the block rows (the
+   * counts side is thin and map-side combined); no collect_list of
+   * unbounded blocks ever happens. Output: (a, b) payload structs with
    * a.id < b.id (canonical order — the same unordered pair from two blocks
    * dedups correctly downstream).
    *
@@ -298,9 +305,13 @@ object Dedup {
     val spark = blocks.sparkSession
     import spark.implicits._
 
-    val wCount = org.apache.spark.sql.expressions.Window.partitionBy($"key")
-    val withN = blocks.select($"key", payload.as("p"))
-      .withColumn("n", count(lit(1)).over(wCount))
+    val rows = blocks.select($"key", payload.as("p"))
+    // thin per-key stats, map-side combined; min(p) is the star center
+    // (struct ordering is field-lexicographic and `id` is the first field,
+    // so it is the block's min id — deterministic under retries)
+    val keyStats = rows.groupBy($"key")
+      .agg(count(lit(1)).as("n"), min($"p").as("pmin"))
+    val withN = rows.join(keyStats, "key")
 
     val smallPairs = withN
       .filter($"n".between(2, cap))
@@ -311,12 +322,9 @@ object Dedup {
         .as(Seq("x", "y")))
 
     val hotPairs = if (oversizedStar) {
-      // min(payload) over the same unordered key window — struct ordering is
-      // field-lexicographic and `id` is the first field, so the star center
-      // is the block's min id (deterministic under retries)
       withN
         .filter($"n" > cap && $"n" <= purgeLimit)
-        .select(min($"p").over(wCount).as("x"), $"p".as("y"))
+        .select($"pmin".as("x"), $"p".as("y"))
         .filter($"x.id" =!= $"y.id")
     } else {
       val wOrd = org.apache.spark.sql.expressions.Window

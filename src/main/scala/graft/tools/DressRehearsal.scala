@@ -49,24 +49,83 @@ object DressRehearsal {
     val nDocs = if (args.length > 0) args(0).toLong else 3000000L
     val cores = if (args.length > 1) args(1).toInt else 32
     val corpusDir = if (args.length > 2) args(2) else s"/tmp/graft-rehearsal-corpus-$nDocs"
+    // comma-separated phase filter ("er,minhash"): rerun one phase without
+    // paying the other's ~20 min
+    val phases = (if (args.length > 3) args(3) else "er,minhash").split(",").toSet
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-dress-rehearsal")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      // Shuffle partitions sized from the DATA, not the core count: at 6M
+      // rows × ~1 KB of minhash/feature state, 64 partitions put ~100 MB of
+      // row data (several × that in object overhead) into every aggregation
+      // task and the run died with UNABLE_TO_ACQUIRE_MEMORY at any join
+      // strategy; ~50k rows per partition keeps per-task state comfortably
+      // inside its execution-memory share, and AQE coalesces the cheap
+      // stages back down by size. This is the knob a 100 TB run sets first.
+      .config("spark.sql.shuffle.partitions",
+        math.max(cores * 2, (2 * nDocs / 50000).toInt).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (8L * 1024 * 1024).toString)
-      .config("spark.local.dir", "/tmp/graft-spark-local")
+      // Spark default join preference (sort-merge) kept ON PURPOSE, unlike
+      // the bench/scaling sessions: SHJ's build map cannot spill, and at
+      // 6M docs a single attach-join build partition exceeded its execution
+      // memory share (SparkOutOfMemoryError in the first rehearsal run) —
+      // SMJ spills and finishes. SHJ is a latency win only while the build
+      // side fits per-task memory, i.e. at bench scale, never at 100 TB.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L * 1024 * 1024).toString)
+      // shuffle/spill spread across BOTH disks (Spark round-robins blocks
+      // over the list): the rehearsal's live shuffle set peaked past the
+      // 72 GB ext4 headroom; adding tmpfs doubles it. A real cluster does
+      // the same with multiple instance volumes per executor.
+      .config("spark.local.dir", "/tmp/graft-spark-local,/dev/shm/graft-spark-rehearsal")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
+      // A multi-million-doc pipeline writes shuffle files worth many times
+      // the input; they are deleted only when the ContextCleaner GCs the
+      // dead ShuffleDependency, and a large mostly-idle heap can go 30+ min
+      // (the default interval) without a full GC — the first 3M-doc run
+      // filled the disk with ~35 GB of DEAD shuffle files mid-CC-loop.
+      // Forcing a periodic GC bounds concurrent shuffle footprint to the
+      // live working set. A real cluster hits the same failure per-executor
+      // (shuffle dirs on instance disks); same fix applies.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // zstd over the lz4 default: the near-dup pipeline's shuffles carry
+      // shingle/minhash arrays and raw text — zstd roughly halves their
+      // on-disk footprint (the binding resource here and on any instance
+      // disk), for single-digit % CPU. Standard posture on shuffle-heavy
+      // production clusters.
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stats = new ShuffleStats
     spark.sparkContext.addSparkListener(stats)
+
+    // peak concurrent on-disk footprint of spark.local.dir (shuffle +
+    // spills), sampled every 5 s — the number a cluster's instance-disk
+    // sizing actually needs (total shuffle WRITE overstates it once the
+    // periodic GC reclaims dead files)
+    val peakLocalDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSampler = new Thread(() => {
+      val dirs = Seq("/tmp/graft-spark-local", "/dev/shm/graft-spark-rehearsal")
+        .map(java.nio.file.Paths.get(_))
+      while (true) {
+        try {
+          val sz = dirs.filter(java.nio.file.Files.isDirectory(_)).map { dir =>
+            java.nio.file.Files.walk(dir)
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+              .sum()
+          }.sum
+          peakLocalDisk.updateAndGet(math.max(_, sz))
+        } catch { case _: Throwable => () }
+        Thread.sleep(5000)
+      }
+    })
+    diskSampler.setDaemon(true)
+    diskSampler.start()
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -86,26 +145,41 @@ object DressRehearsal {
     }
     stats.resetWindow()
 
-    // ---- flagship ER pipeline
-    val pages = spark.read.parquet(corpusDir)
-      .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
-    val (clusters, erSec) = timed { ErPipeline.run(pages).count() }
-    val (erShuffle, erPeak, erPeakName, erStages) = stats.resetWindow()
-    println(f"""{"phase":"er_pipeline","docs":$nDocs,"sec":$erSec%.1f,"docs_per_sec":${nDocs / erSec}%.0f,"clusters":$clusters,"shuffle_write_gb":${gb(erShuffle)}%.2f,"peak_stage_shuffle_gb":${gb(erPeak)}%.2f,"peak_stage":"$erPeakName","stages":$erStages}""")
-    Console.flush()
+    def peakDiskAndReset(): Double = gb(peakLocalDisk.getAndSet(0L))
 
-    // ---- full-strength MinHash near-dup over the same corpus (each page +
-    //      a planted clone → known dup structure at full volume)
-    val docs = spark.read.parquet(corpusDir)
-      .selectExpr("url AS doc_id", "text")
-    val cloned = docs.unionByName(
-      docs.selectExpr("concat(doc_id, '#clone') AS doc_id", "text"))
-    val (dupGroups, mhSec) = timed {
-      graft.dedup.Dedup.minhashNearDupGroups(cloned, "doc_id", "text").count()
+    if (phases("er")) {
+      // JIT/codegen warm-up (excluded from the timed phase)
+      ErPipeline.run(CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)).count()
+      stats.resetWindow(); peakDiskAndReset()
+
+      // ---- flagship ER pipeline
+      val pages = spark.read.parquet(corpusDir)
+        .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
+      val (assignedRows, erSec) = timed { ErPipeline.run(pages).count() }
+      val (erShuffle, erPeak, erPeakName, erStages) = stats.resetWindow()
+      println(f"""{"phase":"er_pipeline","docs":$nDocs,"sec":$erSec%.1f,"docs_per_sec":${nDocs / erSec}%.0f,"assigned_rows":$assignedRows,"shuffle_write_gb":${gb(erShuffle)}%.2f,"peak_stage_shuffle_gb":${gb(erPeak)}%.2f,"peak_local_dir_gb":${peakDiskAndReset()}%.2f,"peak_stage":"$erPeakName","stages":$erStages}""")
+      Console.flush()
     }
-    val (mhShuffle, mhPeak, mhPeakName, mhStages) = stats.resetWindow()
-    println(f"""{"phase":"dedup_minhash_full","docs":${nDocs * 2},"sec":$mhSec%.1f,"docs_per_sec":${nDocs * 2 / mhSec}%.0f,"rows":$dupGroups,"shuffle_write_gb":${gb(mhShuffle)}%.2f,"peak_stage_shuffle_gb":${gb(mhPeak)}%.2f,"peak_stage":"$mhPeakName","stages":$mhStages}""")
-    Console.flush()
+
+    if (phases("minhash")) {
+      graft.dedup.Dedup.minhashNearDupGroups(
+        CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)
+          .selectExpr("url AS doc_id", "text"), "doc_id", "text").count()
+      stats.resetWindow(); peakDiskAndReset()
+
+      // ---- full-strength MinHash near-dup over the same corpus (each page
+      //      + a planted clone → known dup structure at full volume)
+      val docs = spark.read.parquet(corpusDir)
+        .selectExpr("url AS doc_id", "text")
+      val cloned = docs.unionByName(
+        docs.selectExpr("concat(doc_id, '#clone') AS doc_id", "text"))
+      val (dupGroups, mhSec) = timed {
+        graft.dedup.Dedup.minhashNearDupGroups(cloned, "doc_id", "text").count()
+      }
+      val (mhShuffle, mhPeak, mhPeakName, mhStages) = stats.resetWindow()
+      println(f"""{"phase":"dedup_minhash_full","docs":${nDocs * 2},"sec":$mhSec%.1f,"docs_per_sec":${nDocs * 2 / mhSec}%.0f,"rows":$dupGroups,"shuffle_write_gb":${gb(mhShuffle)}%.2f,"peak_stage_shuffle_gb":${gb(mhPeak)}%.2f,"peak_local_dir_gb":${peakDiskAndReset()}%.2f,"peak_stage":"$mhPeakName","stages":$mhStages}""")
+      Console.flush()
+    }
     spark.stop()
   }
 }
