@@ -98,6 +98,15 @@ object DressRehearsal {
       // disk), for single-digit % CPU. Standard posture on shuffle-heavy
       // production clusters.
       .config("spark.io.compression.codec", "zstd")
+      // hand window group buffers to the spillable sorter after 512 rows
+      // (default 4096 unspillable in-memory rows per group): the
+      // sorted-neighborhood lead() window buffers whole hot-band groups,
+      // and 32 concurrent tasks each holding thousands of unspillable rows
+      // can drain the pool before any of them can even CREATE its spill
+      // sorter (the 16 KB init allocation is what failed at 32 GB heap) —
+      // registering with the memory manager early makes the buffers
+      // evictable under pressure instead
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stats = new ShuffleStats
