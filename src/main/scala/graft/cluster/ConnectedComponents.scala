@@ -39,10 +39,19 @@ import org.apache.spark.sql.functions._
  *    iterations at bench scale). Same bounded-driver-step class as the
  *    ANN top-up chunking (graft.ann.Ann.completeTopK).
  *
- * Node ids are STRING urls: correct at any scale (no 64-bit hash-collision
- * risk at 10^12 rows) at the cost of wider shuffles; cluster_id is the
- * lexicographic min url of the component (deterministic labeling,
- * SURVEY.md §7.4.4).
+ * Node ids are whatever orderable type the caller shuffles cheapest —
+ * every edge-set operation here (window min, least/greatest, distinct,
+ * xxhash64 checksum) is type-agnostic. Two id disciplines are in use:
+ *  - STRING urls (cc_components query, dedup groups): self-describing,
+ *    zero-collision by construction, ~60-80 B per shuffled id;
+ *  - 128-bit hash structs (the ER hot path, graft.pipeline.ErPipeline):
+ *    STRUCT<h1:BIGINT,h2:BIGINT> = 16 B per id — the same two-lane xxhash64
+ *    identity the dedup tier trusts (collision math at
+ *    graft.dedup.Dedup.contentKey128: ~10^-15 expected corpus-wide false
+ *    merges at 10^12 docs), with urls restored once at pipeline output.
+ * cluster_id is the component's minimum id under Spark's ordering for the
+ * id type (deterministic labeling, SURVEY.md §7.4.4); string-id callers get
+ * the lexicographic min url.
  */
 object ConnectedComponents {
 
@@ -287,26 +296,71 @@ object ConnectedComponents {
       () => finalBlocks.foreach(_.unpersist(blocking = false)))
   }
 
+  /** Driver-side ordering matching Spark's own for the supported node-id
+    * types (string ids compare as Java strings — identical to UTF8String
+    * binary order for the ASCII urls this pipeline produces; struct ids
+    * compare field-by-field). The local finish's min-id labeling must agree
+    * with the distributed path's `min`/`least`, or the two finishes would
+    * label identical components differently. */
+  private def nodeOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[AnyRef] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Ordering.by[AnyRef, String](_.asInstanceOf[String])
+      case LongType => Ordering.by[AnyRef, Long](_.asInstanceOf[java.lang.Long].longValue())
+      case IntegerType => Ordering.by[AnyRef, Int](_.asInstanceOf[java.lang.Integer].intValue())
+      case st: StructType =>
+        val fieldOrds = st.fields.map(f => nodeOrdering(f.dataType))
+        new Ordering[AnyRef] {
+          def compare(a: AnyRef, b: AnyRef): Int = {
+            val ra = a.asInstanceOf[org.apache.spark.sql.Row]
+            val rb = b.asInstanceOf[org.apache.spark.sql.Row]
+            var i = 0
+            while (i < fieldOrds.length) {
+              val c = fieldOrds(i).compare(
+                ra.get(i).asInstanceOf[AnyRef], rb.get(i).asInstanceOf[AnyRef])
+              if (c != 0) return c
+              i += 1
+            }
+            0
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported connected-components node id type: $other")
+    }
+  }
+
   /** Bounded driver-side closure: collect ≤ [[localFinishEdges]] thin pairs,
-    * union-find with path compression, label every component by its
-    * lexicographic min url (the loop's deterministic labeling contract),
-    * and BROADCAST the node → label map instead of re-creating a
-    * LocalRelation of O(nodes) rows on the driver (measured 4.5 s of
-    * single-threaded encode + a downstream shuffle join at 940k edges; the
-    * broadcast + narrow lookup costs ~1 s and no shuffle). Returns the
-    * assignment over the edge set's own (distributed, distinct) node set,
-    * the lookup expression builder for callers with a wider node universe,
-    * and the broadcast's destroy callback. Replaces the geometric tail of
-    * near-empty star rounds whose per-round cost is pure stage-wave latency
-    * on ANY cluster size. */
+    * union-find with path compression, label every component by its minimum
+    * id (the loop's deterministic labeling contract), and BROADCAST the
+    * node → label map instead of re-creating a LocalRelation of O(nodes)
+    * rows on the driver (measured 4.5 s of single-threaded encode + a
+    * downstream shuffle join at 940k edges; the broadcast + narrow lookup
+    * costs ~1 s and no shuffle). Node-type-agnostic: ids are collected as
+    * external values (String, or Row for 128-bit hash structs — Row's
+    * value-based equals/hashCode make it a usable map key) and labeled with
+    * [[nodeOrdering]]. Returns the assignment over the edge set's own
+    * (distributed, distinct) node set, the lookup expression builder for
+    * callers with a wider node universe, and the broadcast's destroy
+    * callback. Replaces the geometric tail of near-empty star rounds whose
+    * per-round cost is pure stage-wave latency on ANY cluster size.
+    *
+    * Driver-memory contract: the collect is bounded by [[localFinishEdges]]
+    * rows, but the BYTES depend on the id width — 2M (url, url) pairs at
+    * ~80 B/url approach the default 1g `spark.driver.maxResultSize`, which
+    * is why graft.ops.Sessions raises it to 4g in every production session
+    * (16-byte hash ids sit two orders below the ceiling). Callers running
+    * bare sessions near the 2M budget must either raise maxResultSize or
+    * lower `GRAFT_CC_LOCAL_EDGES`. */
   private def localFinish(spark: SparkSession, edges: DataFrame)
       : (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column, () => Unit) = {
     import spark.implicits._
-    val pairs = edges.select($"u", $"v").as[(String, String)].collect()
+    val nodeType = edges.schema("u").dataType
+    val ord = nodeOrdering(nodeType)
+    val pairs = edges.select($"u", $"v").collect()
 
-    val idx = new java.util.HashMap[String, Int](pairs.length * 2)
-    val names = new scala.collection.mutable.ArrayBuffer[String](pairs.length)
-    def id(s: String): Int = {
+    val idx = new java.util.HashMap[AnyRef, Int](pairs.length * 2)
+    val names = new scala.collection.mutable.ArrayBuffer[AnyRef](pairs.length)
+    def id(s: AnyRef): Int = {
       val existing = idx.getOrDefault(s, -1)
       if (existing >= 0) existing
       else { idx.put(s, names.length); names += s; names.length - 1 }
@@ -319,34 +373,39 @@ object ConnectedComponents {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.foreach { case (a, b) =>
-      val (ia, ib) = (id(a), id(b))
+    pairs.foreach { row =>
+      val (ia, ib) = (id(row.get(0).asInstanceOf[AnyRef]), id(row.get(1).asInstanceOf[AnyRef]))
       while (parent.length < names.length) parent += parent.length
       val (ra, rb) = (find(ia), find(ib))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    // min-url label per component root
-    val minName = new java.util.HashMap[Int, String]()
+    // min-id label per component root
+    val minName = new java.util.HashMap[Int, AnyRef]()
     var i = 0
     while (i < names.length) {
       val r = find(i)
       val cur = minName.get(r)
-      if (cur == null || names(i) < cur) minName.put(r, names(i))
+      if (cur == null || ord.lt(names(i), cur)) minName.put(r, names(i))
       i += 1
     }
     // node → component label, roots included as self-rows; ≤ 2 × budget
     // entries ≈ the same order of driver memory as the collected pairs
-    val label = new java.util.HashMap[String, String](names.length * 2)
+    val label = new java.util.HashMap[AnyRef, AnyRef](names.length * 2)
     i = 0
     while (i < names.length) {
       label.put(names(i), minName.get(find(i)))
       i += 1
     }
     val bc = spark.sparkContext.broadcast(label)
-    val look = udf { (u: String) =>
-      val v = bc.value.get(u)
-      if (v == null) u else v // absent node = its own singleton component
-    }
+    // java-UDF overload: the scala closure form fixes the type at compile
+    // time, this one carries the runtime DataType — the struct-id path
+    // passes Rows through unchanged
+    val look = udf(new org.apache.spark.sql.api.java.UDF1[AnyRef, AnyRef] {
+      override def call(u: AnyRef): AnyRef = {
+        val v = bc.value.get(u)
+        if (v == null) u else v // absent node = its own singleton component
+      }
+    }, nodeType)
     val assign = edges.select($"u".as("url")).unionAll(edges.select($"v".as("url")))
       .distinct()
       .select($"url", look($"url").as("cluster_id"))
@@ -368,24 +427,35 @@ object ConnectedComponents {
    * accumulates one edge-set worth of storage per invocation.
    */
   def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url",
-                localEdgeBudget: Long = localFinishEdges): DataFrame = {
+                localEdgeBudget: Long = localFinishEdges): DataFrame =
+    assignAllKeyed(nodes.select(col(urlCol).as("url")), edges, "url", localEdgeBudget)
+
+  /** [[assignAll]] preserving every column of `nodes`: clusters are closed
+    * over `nodes(idCol)` (matched against the edge endpoints) and appended
+    * as `cluster_id` of the same type. This is what the 128-bit-id ER path
+    * needs — the node universe carries (url, nid) and the url must survive
+    * to relabel the hash clusters back to urls WITHOUT a second join
+    * against a dictionary. */
+  def assignAllKeyed(nodes: DataFrame, edges: DataFrame, idCol: String,
+                     localEdgeBudget: Long = localFinishEdges): DataFrame = {
     val res = converge(edges, "url_a", "url_b", maxIterations = 50, localEdgeBudget)
     res.lookup match {
       case Some(look) =>
         // local-finish path: label the universe with the broadcast map — a
         // narrow projection, zero shuffles (absent node → itself inside the
         // lookup). Materialized so the broadcast can be destroyed NOW.
-        val out = nodes.select(col(urlCol).as("url"),
-            look(col(urlCol)).as("cluster_id"))
+        val out = nodes.withColumn("cluster_id", look(col(idCol)))
           .localCheckpoint(eager = true)
         res.cleanup()
         out
       case None =>
-        val cc = res.assign.localCheckpoint(eager = true)
+        val cc = res.assign
+          .select(col("url").as(idCol), col("cluster_id"))
+          .localCheckpoint(eager = true)
         res.cleanup()
-        nodes.select(col(urlCol).as("url"))
-          .join(cc, Seq("url"), "left")
-          .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+        nodes
+          .join(cc, Seq(idCol), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     }
   }
 }

@@ -40,16 +40,10 @@ import graft.functions.GraftFunctions._
 object Dedup {
 
   // ---------------------------------------------------------------- exact
-  /** 128-bit content identity: two independently-seeded xxhash64 lanes.
-    * A single 64-bit key is NOT content identity at the scale this module
-    * targets — at 10^12 docs, C(n,2)/2^64 ≈ 2.7·10^4 expected false merges,
-    * each deleting a real document. Two lanes push that to C(n,2)/2^128 ≈
-    * 10^-15 expected collisions corpus-wide. Both lanes are codegen'd
-    * (xxhash64 mixes its column list, so a distinct literal lane salt yields
-    * an independent hash), cheaper than md5 and keeps the shuffle key at 16
-    * bytes. */
-  private[dedup] def contentKey128(c: Column): Column =
-    struct(xxhash64(c).as("h1"), xxhash64(lit(0x9e3779b97f4a7c15L), c).as("h2"))
+  /** 128-bit content identity — see [[graft.functions.GraftFunctions.id128]]
+    * for the collision math (a single 64-bit key false-merges ~2.7·10^4
+    * times at 10^12 docs; two lanes push that to ~10^-15 corpus-wide). */
+  private[graft] def contentKey128(c: Column): Column = id128(c)
 
   /**
    * Exact dedup by content hash: one hash-aggregate (map-side combined).
@@ -305,7 +299,13 @@ object Dedup {
     val spark = blocks.sparkSession
     import spark.implicits._
 
-    val rows = blocks.select($"key", payload.as("p"))
+    // Null blocking keys are EXCLUDED by design (made explicit here rather
+    // than implied by the stats equi-join): "null key" means "no blocking
+    // signal", not "one shared block" — the pre-round-4 window shape
+    // silently grouped every null-key row into a single giant pseudo-block
+    // and paired them, which was never intended and cannot scale. Callers
+    // whose key is meaningfully nullable must map null to a sentinel first.
+    val rows = blocks.filter($"key".isNotNull).select($"key", payload.as("p"))
     // thin per-key stats, map-side combined; min(p) is the star center
     // (struct ordering is field-lexicographic and `id` is the first field,
     // so it is the block's min id — deterministic under retries)

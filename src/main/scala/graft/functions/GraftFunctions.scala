@@ -66,6 +66,20 @@ object GraftFunctions {
   def srp_band_keys(vec: Column, bands: Int, bits: Int, seed: Long = 42L): Column =
     col(SrpBandKeys(expr(vec), bands, bits, seed))
 
+  /** 128-bit identity key: two independently-seeded xxhash64 lanes packed
+    * as STRUCT<h1:BIGINT,h2:BIGINT> — a 16-byte, codegen'd, orderable
+    * shuffle key. A single 64-bit lane is NOT identity at web scale
+    * (C(n,2)/2^64 ≈ 2.7·10^4 expected false merges at 10^12 rows); two
+    * lanes push that to ~10^-15 corpus-wide. xxhash64 mixes its column
+    * list, so the distinct literal lane salt yields an independent hash.
+    * Used as the content key by the dedup tier and as the node id by the
+    * ER hot path (urls mapped in once, restored once at output). */
+  def id128(c: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    F.struct(F.xxhash64(c).as("h1"),
+      F.xxhash64(F.lit(0x9e3779b97f4a7c15L), c).as("h2"))
+  }
+
   private def lit(e: Expression): Int =
     e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
       case i: Int  => i

@@ -1,11 +1,12 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.block.Blocking
 import graft.cluster.ConnectedComponents
 import graft.eval.PairwiseF1
+import graft.functions.GraftFunctions.id128
 import graft.ops.{Checkpoints, Lineage}
 import graft.schema.Page
 import graft.score.PairScorer
@@ -19,39 +20,89 @@ import graft.score.PairScorer
  * `run` executes lazily end-to-end (bench path, no intermediate I/O);
  * `runCheckpointed` commits each stage as a snapshot table with manifest +
  * lineage counters and resumes any completed stage (north-rule contract).
+ *
+ * ID DISCIPLINE (`Config.hashIds`, default on): the hot path — block-key
+ * explode, pair generation, pair dedup, both attach joins, edge set, CC
+ * node ids — shuffles 128-bit hash ids (STRUCT<h1,h2>, 16 bytes; collision
+ * math at [[graft.functions.GraftFunctions.id128]]) instead of url strings
+ * (~60-80 bytes + offsets). Every one of those stages shuffles each doc's
+ * id b+|mention| times, so id width is a first-order term in total shuffle
+ * bytes — and on a memory-bandwidth-bound executor, bytes are wall-clock.
+ * Urls are hashed in once (a pure expression over the cached feature scan,
+ * no join) and restored once at output ([[relabelMinUrl]]), which also
+ * restores the string path's exact labeling contract: cluster_id = the
+ * component's lexicographic minimum url. The two paths produce IDENTICAL
+ * (url, cluster_id) output (property-tested in ErPipelineSpec), so
+ * `hashIds = false` survives only as the A/B baseline and oracle for that
+ * test.
  */
 object ErPipeline {
 
   case class Config(
       blocking: Blocking.Config = Blocking.Config(),
-      scorer: PairScorer.Config = PairScorer.Config()) {
+      scorer: PairScorer.Config = PairScorer.Config(),
+      hashIds: Boolean = true) {
     def fingerprint: String =
       s"b=${blocking.bands}x${blocking.rowsPerBand},mh=${blocking.minhashHashes}," +
         s"seed=${blocking.seed},cap=${blocking.maxBlock},sn=${blocking.snWindow}," +
         s"w=${scorer.weights.jaro}/${scorer.weights.lev}/${scorer.weights.jaccard}," +
-        s"tau=${scorer.threshold}"
+        s"tau=${scorer.threshold},ids=${if (hashIds) "h128" else "url"}"
   }
+
+  /** (url, …, cluster_id: 128-bit struct) → (url, cluster_id: url): label
+    * every hash-id component by its minimum member url — bit-identical to
+    * the string-id path's deterministic labeling. Two thin shuffles at
+    * OUTPUT scale (one map-side-combined min per component + one join of
+    * the n-row assignment against the per-component labels), paid once —
+    * versus the id-width savings paid on every hot-path shuffle. */
+  private def relabelMinUrl(assigned: DataFrame): DataFrame = {
+    val labels = assigned.groupBy(col("cluster_id"))
+      .agg(min(col("url")).as("cluster_url"))
+    assigned.join(labels, Seq("cluster_id"))
+      .select(col("url"), col("cluster_url").as("cluster_id"))
+  }
+
+  /** Re-key a feature table (url, mention, sig, …) to 128-bit hash ids —
+    * a narrow projection (no join); consumers see the same `url` column
+    * name with the 16-byte struct in it. */
+  private def hashKeyed(feats: DataFrame): DataFrame =
+    feats.withColumn("url", id128(col("url")))
 
   /** pages → (url, cluster_id). `feats` is consumed twice (block keys and
     * scorer payload) and its computation — extraction, normalization,
     * tokenization, MinHash over every page — dominates map-side cost, so it
     * is persisted for the run instead of recomputed per consumer. The
-    * connected-components step runs eagerly, so by the time `assignAll`
+    * connected-components step runs eagerly, so by the time the assignment
     * returns the edge pipeline has been fully consumed and every cache from
     * this run can be freed (the bench and scaling suite run this many times
     * in one JVM; leaked caches compound). */
   def run(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
     val scope = new graft.ops.CacheScope
-    val feats = scope.cache(Blocking.features(pages, cfg.blocking, Some(scope)))
-    val blocks = Blocking.blockKeys(feats, cfg.blocking)
-    val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
-    val edges = PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
-    val out = ConnectedComponents.assignAll(pages.toDF().select("url"), edges)
+    val featsU = scope.cache(Blocking.features(pages, cfg.blocking, Some(scope)))
+    val out = if (cfg.hashIds) {
+      val feats = hashKeyed(featsU)
+      val blocks = Blocking.blockKeys(feats, cfg.blocking)
+      val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
+      val edges = PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
+      val nodes = pages.toDF().select(col("url"), id128(col("url")).as("nid"))
+      relabelMinUrl(ConnectedComponents.assignAllKeyed(nodes, edges, "nid"))
+    } else {
+      val blocks = Blocking.blockKeys(featsU, cfg.blocking)
+      val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
+      val edges = PairScorer.score(Blocking.attachFeatures(pairs, featsU), cfg.scorer)
+      ConnectedComponents.assignAll(pages.toDF().select("url"), edges)
+    }
     scope.close()
     out
   }
 
-  /** Checkpointed variant: every stage is a committed snapshot (resume-safe). */
+  /** Checkpointed variant: every stage is a committed snapshot (resume-safe;
+    * the fingerprint carries the id discipline so a resume never mixes url-
+    * and hash-keyed artifacts). Feature/pair/edge snapshots live in id space
+    * — on the hash path the features snapshot keeps BOTH the url and the
+    * derived id column, so downstream consumers (e.g. Main's candidate-miss
+    * diagnostics) can translate pair snapshots back to urls with one
+    * broadcast-or-shuffle join against it. */
   def runCheckpointed(spark: SparkSession, pages: Dataset[Page], workDir: String,
                       cfg: Config = Config()): DataFrame = {
     val fp = cfg.fingerprint
@@ -62,25 +113,50 @@ object ErPipeline {
     Lineage.writeCounters(s"$workDir/pages", "pages", pagesT)
 
     val feats = Checkpoints.stage(spark, s"$workDir/features", "features", fp) {
-      Blocking.features(pagesT.as[Page](org.apache.spark.sql.Encoders.product[Page]), cfg.blocking)
+      val f = Blocking.features(
+        pagesT.as[Page](org.apache.spark.sql.Encoders.product[Page]), cfg.blocking)
+      if (cfg.hashIds) f.withColumn("nid", id128(col("url"))) else f
     }
     Lineage.writeCounters(s"$workDir/features", "features", feats)
 
+    // id-space view of the features snapshot (url dropped, nid as the key)
+    val featsKeyed =
+      if (cfg.hashIds) feats.drop("url").withColumnRenamed("nid", "url")
+      else feats
+
     val pairs = Checkpoints.stage(spark, s"$workDir/pairs", "pairs", fp) {
-      Blocking.candidatePairs(Blocking.blockKeys(feats, cfg.blocking), cfg.blocking)
+      Blocking.candidatePairs(Blocking.blockKeys(featsKeyed, cfg.blocking), cfg.blocking)
     }
     Lineage.writeCounters(s"$workDir/pairs", "pairs", pairs)
 
     val edges = Checkpoints.stage(spark, s"$workDir/edges", "edges", fp) {
-      PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
+      PairScorer.score(Blocking.attachFeatures(pairs, featsKeyed), cfg.scorer)
     }
     Lineage.writeCounters(s"$workDir/edges", "edges", edges)
 
     val clusters = Checkpoints.stage(spark, s"$workDir/clusters", "clusters", fp) {
-      ConnectedComponents.assignAll(pagesT.select("url"), edges)
+      if (cfg.hashIds) {
+        val nodes = pagesT.select(col("url"), id128(col("url")).as("nid"))
+        relabelMinUrl(ConnectedComponents.assignAllKeyed(nodes, edges, "nid"))
+      } else ConnectedComponents.assignAll(pagesT.select("url"), edges)
     }
     Lineage.writeCounters(s"$workDir/clusters", "clusters", clusters)
     clusters
+  }
+
+  /** Translate an id-space pair table (url_a, url_b as 128-bit structs)
+    * back to url strings via the features snapshot's (url, nid) columns —
+    * for diagnostics over checkpointed pair/edge artifacts. No-op input
+    * passes through when the pairs are already strings. */
+  def pairsToUrls(pairs: DataFrame, feats: DataFrame): DataFrame = {
+    if (pairs.schema("url_a").dataType == org.apache.spark.sql.types.StringType) pairs
+    else {
+      val dict = feats.select(col("nid"), col("url"))
+      pairs
+        .join(dict.select(col("nid").as("url_a"), col("url").as("ua")), Seq("url_a"))
+        .join(dict.select(col("nid").as("url_b"), col("url").as("ub")), Seq("url_b"))
+        .select(col("ua").as("url_a"), col("ub").as("url_b"))
+    }
   }
 
   /** Convenience: run + evaluate against labeled pairs. */

@@ -43,6 +43,14 @@ object DressRehearsal {
       totalShuffleWrite = 0L; peakStageShuffleWrite = 0L; peakStageName = ""; stages = 0
       out
     }
+    /** Listener events are posted asynchronously: a just-finished job's last
+      * stage-completed events can still be in flight when the timed call
+      * returns. Settle before reading/clearing, else trailing events are
+      * missed or bleed into the next phase's telemetry window. */
+    def resetWindowSettled(): (Long, Long, String, Int) = {
+      Thread.sleep(3000)
+      resetWindow()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,9 +61,10 @@ object DressRehearsal {
     // paying the other's ~20 min
     val phases = (if (args.length > 3) args(3) else "er,minhash").split(",").toSet
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-dress-rehearsal")
+    // survival configs (window spill threshold, periodic GC, zstd shuffle,
+    // driver result ceiling) come from Sessions.builder — they were proven
+    // HERE and now ship in every production session, not just this tool
+    val spark = graft.ops.Sessions.builder(cores, "graft-dress-rehearsal")
       // Shuffle partitions sized from the DATA, not the core count: at 6M
       // rows × ~1 KB of minhash/feature state, 64 partitions put ~100 MB of
       // row data (several × that in object overhead) into every aggregation
@@ -80,33 +89,6 @@ object DressRehearsal {
       // 72 GB ext4 headroom; adding tmpfs doubles it. A real cluster does
       // the same with multiple instance volumes per executor.
       .config("spark.local.dir", "/tmp/graft-spark-local,/dev/shm/graft-spark-rehearsal")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.maxResultSize", "4g")
-      // A multi-million-doc pipeline writes shuffle files worth many times
-      // the input; they are deleted only when the ContextCleaner GCs the
-      // dead ShuffleDependency, and a large mostly-idle heap can go 30+ min
-      // (the default interval) without a full GC — the first 3M-doc run
-      // filled the disk with ~35 GB of DEAD shuffle files mid-CC-loop.
-      // Forcing a periodic GC bounds concurrent shuffle footprint to the
-      // live working set. A real cluster hits the same failure per-executor
-      // (shuffle dirs on instance disks); same fix applies.
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      // zstd over the lz4 default: the near-dup pipeline's shuffles carry
-      // shingle/minhash arrays and raw text — zstd roughly halves their
-      // on-disk footprint (the binding resource here and on any instance
-      // disk), for single-digit % CPU. Standard posture on shuffle-heavy
-      // production clusters.
-      .config("spark.io.compression.codec", "zstd")
-      // hand window group buffers to the spillable sorter after 512 rows
-      // (default 4096 unspillable in-memory rows per group): the
-      // sorted-neighborhood lead() window buffers whole hot-band groups,
-      // and 32 concurrent tasks each holding thousands of unspillable rows
-      // can drain the pool before any of them can even CREATE its spill
-      // sorter (the 16 KB init allocation is what failed at 32 GB heap) —
-      // registering with the memory manager early makes the buffers
-      // evictable under pressure instead
-      .config("spark.sql.windowExec.buffer.in.memory.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stats = new ShuffleStats
@@ -122,14 +104,22 @@ object DressRehearsal {
         .map(java.nio.file.Paths.get(_))
       while (true) {
         try {
+          // Files.walk holds open directory handles until closed — the
+          // sampler re-walks every 5 s for the whole run, so rely on
+          // Using (try-finally close), not GC, to release the fds
           val sz = dirs.filter(java.nio.file.Files.isDirectory(_)).map { dir =>
-            java.nio.file.Files.walk(dir)
-              .filter(java.nio.file.Files.isRegularFile(_))
-              .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
-              .sum()
+            scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+              st.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: java.io.IOException => 0L })
+                .sum()
+            }
           }.sum
           peakLocalDisk.updateAndGet(math.max(_, sz))
-        } catch { case _: Throwable => () }
+        } catch {
+          // files vanish mid-walk as the cleaner deletes dead shuffle
+          // blocks; skip the sample rather than kill the sampler
+          case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        }
         Thread.sleep(5000)
       }
     })
@@ -159,13 +149,13 @@ object DressRehearsal {
     if (phases("er")) {
       // JIT/codegen warm-up (excluded from the timed phase)
       ErPipeline.run(CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)).count()
-      stats.resetWindow(); peakDiskAndReset()
+      stats.resetWindowSettled(); peakDiskAndReset()
 
       // ---- flagship ER pipeline
       val pages = spark.read.parquet(corpusDir)
         .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
       val (assignedRows, erSec) = timed { ErPipeline.run(pages).count() }
-      val (erShuffle, erPeak, erPeakName, erStages) = stats.resetWindow()
+      val (erShuffle, erPeak, erPeakName, erStages) = stats.resetWindowSettled()
       println(f"""{"phase":"er_pipeline","docs":$nDocs,"sec":$erSec%.1f,"docs_per_sec":${nDocs / erSec}%.0f,"assigned_rows":$assignedRows,"shuffle_write_gb":${gb(erShuffle)}%.2f,"peak_stage_shuffle_gb":${gb(erPeak)}%.2f,"peak_local_dir_gb":${peakDiskAndReset()}%.2f,"peak_stage":"$erPeakName","stages":$erStages}""")
       Console.flush()
     }
@@ -174,7 +164,7 @@ object DressRehearsal {
       graft.dedup.Dedup.minhashNearDupGroups(
         CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)
           .selectExpr("url AS doc_id", "text"), "doc_id", "text").count()
-      stats.resetWindow(); peakDiskAndReset()
+      stats.resetWindowSettled(); peakDiskAndReset()
 
       // ---- full-strength MinHash near-dup over the same corpus (each page
       //      + a planted clone → known dup structure at full volume)
@@ -185,7 +175,7 @@ object DressRehearsal {
       val (dupGroups, mhSec) = timed {
         graft.dedup.Dedup.minhashNearDupGroups(cloned, "doc_id", "text").count()
       }
-      val (mhShuffle, mhPeak, mhPeakName, mhStages) = stats.resetWindow()
+      val (mhShuffle, mhPeak, mhPeakName, mhStages) = stats.resetWindowSettled()
       println(f"""{"phase":"dedup_minhash_full","docs":${nDocs * 2},"sec":$mhSec%.1f,"docs_per_sec":${nDocs * 2 / mhSec}%.0f,"rows":$dupGroups,"shuffle_write_gb":${gb(mhShuffle)}%.2f,"peak_stage_shuffle_gb":${gb(mhPeak)}%.2f,"peak_local_dir_gb":${peakDiskAndReset()}%.2f,"peak_stage":"$mhPeakName","stages":$mhStages}""")
       Console.flush()
     }

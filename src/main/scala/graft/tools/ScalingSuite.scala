@@ -46,7 +46,7 @@ object ScalingSuite {
     * 8-thread canary 3× slower on cpus 0-7), so always pinning 0..n-1 would
     * re-sample the same bad cores every pass. Rotation costs nothing when
     * the host is uniform and diversifies the draw when it isn't. */
-  private def pinSelf(cores: Int, sampleIdx: Int): Int = {
+  private[tools] def pinSelf(cores: Int, sampleIdx: Int): Int = {
     val total = Runtime.getRuntime.availableProcessors()
     val start = (sampleIdx.toLong * cores % math.max(total, cores)).toInt
     val cpus = (0 until cores).map(i => (start + i) % math.max(total, cores))
@@ -147,9 +147,7 @@ object ScalingSuite {
         val winStart = pinSelf(cores, sampleIdx(cores))
         sampleIdx(cores) += 1
         val bcastMb = sys.env.getOrElse("GRAFT_BCAST_MB", "32").toLong
-        val spark = SparkSession.builder()
-          .master(s"local[$cores]")
-          .appName(s"graft-scaling-$cores")
+        val spark = graft.ops.Sessions.builder(cores, s"graft-scaling-$cores")
           .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
           .config("spark.sql.adaptive.enabled", "true")
           // 32 MB, NOT the round-2 128 MB: at ≥300k docs the feature table's
@@ -180,8 +178,6 @@ object ScalingSuite {
           .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
             (sys.env.getOrElse("GRAFT_ADVISORY_MB", "16").toLong * 1024 * 1024).toString)
           .config("spark.local.dir", "/tmp/graft-spark-local")
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
 

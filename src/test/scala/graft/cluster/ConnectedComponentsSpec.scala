@@ -66,6 +66,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("128-bit struct node ids: both finishes produce the string-id partition") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.id128
+    val rnd = new scala.util.Random(29)
+    val n = 120
+    val edges = Seq.fill(300)((rnd.nextInt(n), rnd.nextInt(n))).filter(e => e._1 != e._2)
+    val edgeDf = edges.map { case (a, b) => (f"n$a%04d", f"n$b%04d") }
+      .toDF("url_a", "url_b").cache()
+    def partitions(asg: Map[String, String]): Set[Set[String]] =
+      asg.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val want = partitions(ConnectedComponents.run(edgeDf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
+
+    // same edges keyed by STRUCT<h1,h2> hash ids, through BOTH code paths
+    // (driver union-find over Row keys; distributed star rounds over struct
+    // columns — window min / least / xxhash64 checksum on structs)
+    val hdf = edgeDf.select(id128(col("url_a")).as("url_a"), id128(col("url_b")).as("url_b"))
+    val dict = edgeDf.select(col("url_a").as("url")).union(edgeDf.select(col("url_b").as("url")))
+      .distinct().select(col("url"), id128(col("url")).as("nid"))
+    for (budget <- Seq(ConnectedComponents.localFinishEdges, 0L)) {
+      val asg = ConnectedComponents.run(hdf, localEdgeBudget = budget)
+      val got = partitions(asg.join(dict, asg("url") === dict("nid"))
+        .select(dict("url").as("u"), asg("cluster_id").cast("string").as("c"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+      assert(got == want, s"budget $budget: struct-id partition diverged")
+    }
+    edgeDf.unpersist()
+  }
+
   test("empty edges, singletons via assignAll") {
     import spark.implicits._
     val nodes = Seq("a", "b", "c").toDF("url")

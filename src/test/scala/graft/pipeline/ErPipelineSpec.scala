@@ -46,6 +46,22 @@ class ErPipelineSpec extends SparkSpec {
     assert(res.f1 >= 0.99, s"pairwise F1 ${res.f1} ($res)")
   }
 
+  test("hash-id path ≡ string-id path: identical (url, cluster_id) output") {
+    // the 128-bit-id hot path (Config.hashIds, the production default) must
+    // not change SEMANTICS, only shuffle bytes: same candidate pairs (the
+    // SN tiebreak is id128(id) on both paths by construction), same edges,
+    // same components, and — via relabelMinUrl — the exact same min-url
+    // cluster labels. Exact multiset equality, not just partition equality.
+    val p2 = CorpusGen.pages(spark, 20000L, seed = 99L).cache()
+    val viaHash = ErPipeline.run(p2, ErPipeline.Config(hashIds = true))
+    val viaUrl = ErPipeline.run(p2, ErPipeline.Config(hashIds = false))
+    val onlyHash = viaHash.exceptAll(viaUrl).count()
+    val onlyUrl = viaUrl.exceptAll(viaHash).count()
+    assert(onlyHash == 0 && onlyUrl == 0,
+      s"id disciplines diverged: $onlyHash rows only in hash path, $onlyUrl only in url path")
+    p2.unpersist()
+  }
+
   test("scorer: expression path == typed mapPartitions path") {
     import org.apache.spark.sql.functions._
     val feats = Blocking.features(pages, Blocking.Config())

@@ -96,6 +96,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("candidatePairs block sizes ride agg+join — no count window in the plan") {
+    // the whole-group `count(*) over (partition by key)` window is the
+    // stage shape that OOM'd the 6M-doc dress rehearsal (window buffers and
+    // the small-branch collect_list hash aggregate compete for one task
+    // memory pool, BASELINE.md lesson 5); block stats must come from the
+    // partial-aggregable groupBy+join in Dedup.blockPairs. The only window
+    // allowed is the sorted-neighborhood lead().
+    val pages = CorpusGen.pages(spark, 300L, seed = 42L, partitions = 2)
+    val feats = Blocking.features(pages, Blocking.Config())
+    val pairs = Blocking.candidatePairs(Blocking.blockKeys(feats), Blocking.Config())
+    val windows = pairs.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the sorted-neighborhood lead() window")
+    windows.foreach { w =>
+      val exprs = w.windowExpression.mkString(";").toLowerCase
+      assert(exprs.contains("lead"), s"unexpected window expression: $exprs")
+      assert(!exprs.contains("count("), s"block-size count must not be a window: $exprs")
+    }
+  }
+
   test("scorer is narrow and feature attach joins are broadcast at small scale") {
     import spark.implicits._
     val pages = CorpusGen.pages(spark, 300L, seed = 42L, partitions = 2).cache()
