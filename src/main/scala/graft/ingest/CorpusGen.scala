@@ -119,6 +119,33 @@ object CorpusGen {
   /** Non-negative index in [0, m) from a hashed long (avoids Int.MinValue.abs). */
   @inline private def idx(h: Long, m: Int): Int = ((h >>> 33) % m).toInt
 
+
+  private val SECTIONS: Array[String] = Array(
+    "news", "business", "people", "local", "politics", "sports", "culture",
+    "community")
+
+  /** Deterministic Common-Crawl-shaped url: scheme + registrable domain
+    * (Zipf head-domain skew preserved) + section + yyyy/mm + an entity word
+    * slug + unique numeric tail — ~85 bytes median, matching real crawl
+    * frontiers. The corpus previously minted ~40-byte `/p/<e>/<i>` urls,
+    * which are unrealistic in BOTH directions that matter to the engine:
+    * too short (understates the shuffle weight of string identities the
+    * north star's Iceberg corpus carries) and too repetitive (zstd squeezed
+    * them below the 16 incompressible bytes of a 128-bit hash id, inverting
+    * the round-5 id-width A/B vs what any real url corpus shows). Unique
+    * per docIdx, pure in (seed, docIdx, entityId) — the three generators
+    * (pages, goldClusters, goldPairs) must mint IDENTICAL urls per doc. */
+  private[graft] def pageUrl(seed: Long, docIdx: Long, entityId: Long): String = {
+    val h = mix64(seed ^ mix64(docIdx + 7777))
+    val domain = DOMAINS(zipfPick(unit(h)))
+    val em = entityMeta(seed, entityId)
+    val h2 = mix64(h + 0x5deece66dL)
+    val section = SECTIONS(idx(h2, SECTIONS.length))
+    val year = 2019 + idx(mix64(h2 + 1), 7)
+    val month = 1 + idx(mix64(h2 + 2), 12)
+    f"https://$domain/$section/$year/$month%02d/${em.first}-${em.last}-${em.city}-${em.profession}/p$entityId-d$docIdx.html"
+  }
+
   final case class EntityMeta(
       entityId: Long, first: String, last: String, city: String,
       birthYear: Int, profession: String, vocab: Array[String])
@@ -230,8 +257,7 @@ object CorpusGen {
               paragraphs: Int = 2, paraWords: Int = 40): Page = {
     val entityId = docIdx % nEntities
     val h = mix64(seed ^ mix64(docIdx + 7777))
-    val domain = DOMAINS(zipfPick(unit(h)))
-    val url = s"https://$domain/p/$entityId/$docIdx"
+    val url = pageUrl(seed, docIdx, entityId)
     val html = genHtml(seed, docIdx, nEntities, paragraphs, paraWords)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val text = TextExtract.extract(html)
@@ -257,9 +283,7 @@ object CorpusGen {
     val nEntities = math.max(1L, nDocs / avgClusterSize)
     spark.range(0L, nDocs, 1L, partitions).map { i =>
       val entityId = i % nEntities
-      val h = mix64(seed ^ mix64(i + 7777))
-      val domain = DOMAINS(zipfPick(unit(h)))
-      GoldCluster(s"https://$domain/p/$entityId/$i", entityId)
+      GoldCluster(pageUrl(seed, i, entityId), entityId)
     }
   }
 
@@ -279,9 +303,7 @@ object CorpusGen {
     val labeled = spark.range(0L, nDocs, 1L, partitions).map { i =>
       val entityId = i % nEntities
       val em = entityMeta(seed, entityId)
-      val h = mix64(seed ^ mix64(i + 7777))
-      val domain = DOMAINS(zipfPick(unit(h)))
-      (s"https://$domain/p/$entityId/$i", entityId, em.last)
+      (pageUrl(seed, i, entityId), entityId, em.last)
     }.toDF("url", "entity_id", "last")
 
     val w = Window.partitionBy($"entity_id").orderBy($"url")

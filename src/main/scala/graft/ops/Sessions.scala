@@ -38,14 +38,20 @@ import org.apache.spark.sql.SparkSession
  */
 object Sessions {
 
-  /** The dress-rehearsal survival settings (see object doc). Applied by
-    * [[builder]]; exposed separately so tools that build exotic sessions
-    * (e.g. the rehearsal itself) can compose them explicitly. */
-  def survival(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.windowExec.buffer.in.memory.threshold", "512")
-    .config("spark.cleaner.periodicGC.interval", "2min")
-    .config("spark.io.compression.codec", "zstd")
-    .config("spark.driver.maxResultSize", "4g")
+  /** The dress-rehearsal survival settings (see object doc), as data so
+    * SessionsSpec can pin them — a refactor that drops one must fail a
+    * test, not resurface as an OOM at the next 6M-doc run. */
+  val survivalConfigs: Map[String, String] = Map(
+    "spark.sql.windowExec.buffer.in.memory.threshold" -> "512",
+    "spark.cleaner.periodicGC.interval" -> "2min",
+    "spark.io.compression.codec" -> "zstd",
+    "spark.driver.maxResultSize" -> "4g")
+
+  /** Apply [[survivalConfigs]]. Used by [[builder]]; exposed separately so
+    * tools that build exotic sessions (e.g. the rehearsal itself) can
+    * compose them explicitly. */
+  def survival(b: SparkSession.Builder): SparkSession.Builder =
+    survivalConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   /** Base builder for a local[cores] session with the survival configs and
     * the settings every entry point shares (UTC, no UI). Callers layer

@@ -27,9 +27,16 @@ object AbIdKeys {
 
   private final class Bytes extends SparkListener {
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       total.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def reset(): Long = { Thread.sleep(3000); total.getAndSet(0L) } // settle async events
+      records.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    // NOTE bytesWritten is POST-compression (zstd in production sessions):
+    // it measures network/disk volume. recordsWritten × row width proxies
+    // the UNCOMPRESSED volume the sorters/serializers/memory bus move.
+    def reset(): (Long, Long) =
+      { Thread.sleep(3000); (total.getAndSet(0L), records.getAndSet(0L)) } // settle async events
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,22 +74,22 @@ object AbIdKeys {
         ErPipeline.Config(hashIds = h)).count()
     bytes.reset()
 
-    val samples = scala.collection.mutable.Map.empty[Boolean, List[(Double, Long)]]
+    val samples = scala.collection.mutable.Map.empty[Boolean, List[(Double, Long, Long)]]
       .withDefaultValue(Nil)
     for (r <- 1 to runs; h <- Seq(false, true)) {
       val t0 = System.nanoTime()
       val n = ErPipeline.run(pages, ErPipeline.Config(hashIds = h)).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val b = bytes.reset()
-      samples(h) = (sec, b) :: samples(h)
-      System.err.println(f"[ab] run=$r hashIds=$h docs=$n sec=$sec%.1f shuffle_gb=${b / 1e9}%.2f")
+      val (b, rec) = bytes.reset()
+      samples(h) = (sec, b, rec) :: samples(h)
+      System.err.println(f"[ab] run=$r hashIds=$h docs=$n sec=$sec%.1f shuffle_gb=${b / 1e9}%.2f shuffle_mrows=${rec / 1e6}%.1f")
     }
-    def best(h: Boolean): (Double, Long) = samples(h).minBy(_._1)
-    val (us, ub) = best(false)
-    val (hs, hb) = best(true)
+    def best(h: Boolean): (Double, Long, Long) = samples(h).minBy(_._1)
+    val (us, ub, ur) = best(false)
+    val (hs, hb, hr) = best(true)
     println(f"""{"ab":"id_keys","docs":$nDocs,"cores":$cores,"runs_per_mode":$runs,""" +
-      f""""url":{"sec":$us%.1f,"shuffle_gb":${ub / 1e9}%.2f},""" +
-      f""""hash":{"sec":$hs%.1f,"shuffle_gb":${hb / 1e9}%.2f},""" +
+      f""""url":{"sec":$us%.1f,"shuffle_gb":${ub / 1e9}%.2f,"shuffle_mrows":${ur / 1e6}%.1f},""" +
+      f""""hash":{"sec":$hs%.1f,"shuffle_gb":${hb / 1e9}%.2f,"shuffle_mrows":${hr / 1e6}%.1f},""" +
       f""""wall_ratio":${us / hs}%.3f,"bytes_ratio":${ub.toDouble / hb}%.3f}""")
     spark.stop()
   }
