@@ -46,7 +46,8 @@ object ErPipeline {
       s"b=${blocking.bands}x${blocking.rowsPerBand},mh=${blocking.minhashHashes}," +
         s"seed=${blocking.seed},cap=${blocking.maxBlock},sn=${blocking.snWindow}," +
         s"w=${scorer.weights.jaro}/${scorer.weights.lev}/${scorer.weights.jaccard}," +
-        s"tau=${scorer.threshold},ids=${if (hashIds) "h128" else "url"}"
+        s"tau=${scorer.threshold},jfloor=${scorer.jaccardFloor}," +
+        s"ids=${if (hashIds) "h128" else "url"}"
   }
 
   /** (url, …, cluster_id: 128-bit struct) → (url, cluster_id: url): label

@@ -27,7 +27,26 @@ object PairScorer {
 
   case class Weights(jaro: Double = 0.3, lev: Double = 0.1, jaccard: Double = 0.6)
 
-  case class Config(weights: Weights = Weights(), threshold: Double = 0.50)
+  /**
+   * `threshold` gates the weighted score; `jaccardFloor` is a CONJUNCTIVE
+   * content-evidence gate: name similarity alone must never make an edge.
+   *
+   * Why both (round-5 scale lesson, BASELINE.md): with ~16k distinct
+   * first/last name combinations, corpora beyond ~10^5 entities guarantee
+   * same-full-name DIFFERENT-entity collisions; their pairs score
+   * jaro≈lev≈1 with low token jaccard — a weighted sum puts them at
+   * ≈ w_jaro + w_lev + w_jac·j_bg ≈ 0.45-0.55, and ANY above-threshold
+   * leak is amplified by transitive closure into cluster chaining
+   * (measured at 600k docs with the old τ=0.5, no floor: 4,644 clusters
+   * for ~120k entities, pairwise precision 0.69). Measured at 200k docs:
+   * gold positives have jaccard p1 = 0.60 (true matches ALWAYS carry
+   * shared content), impostors concentrate in score [0.5, 0.6) with
+   * jaccard < 0.3 — τ=0.6 ∧ jaccard ≥ 0.35 keeps 99.0% of gold pairs
+   * (the rest reconnect transitively; cluster recall 0.9996 at 600k)
+   * and passes 1 of 376 candidate gold negatives.
+   */
+  case class Config(weights: Weights = Weights(), threshold: Double = 0.60,
+                    jaccardFloor: Double = 0.35)
 
   /**
    * Input: candidate pairs with payloads (url_a, url_b, mention_a,
@@ -45,7 +64,8 @@ object PairScorer {
         col("jaro") * cfg.weights.jaro +
         col("lev_sim") * cfg.weights.lev +
         col("jaccard") * cfg.weights.jaccard)
-      .filter(col("score") >= cfg.threshold) // F3: edge threshold
+      // F3: edge threshold + conjunctive content floor (see Config scaladoc)
+      .filter(col("score") >= cfg.threshold && col("jaccard") >= cfg.jaccardFloor)
       .select("url_a", "url_b", "jaro", "lev_sim", "jaccard", "score")
   }
 
@@ -81,7 +101,9 @@ object PairScorer {
           if (n == 0) 0.0 else eq.toDouble / n
         }
         val s = jw * w.jaro + lv * w.lev + jc * w.jaccard
-        if (s >= tau) Some(MatchEdge(p.url_a, p.url_b, jw, lv, jc, s)) else None
+        if (s >= tau && jc >= cfg.jaccardFloor)
+          Some(MatchEdge(p.url_a, p.url_b, jw, lv, jc, s))
+        else None
       }
     }
   }

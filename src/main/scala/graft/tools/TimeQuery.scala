@@ -9,16 +9,15 @@ object TimeQuery {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
     val cores = if (args.length > 3) args(3).toInt else 32
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // GRAFT_CODEC overrides the production zstd for codec A/Bs
+    val spark = graft.ops.Sessions.builder(cores, s"graft-timequery")
+      .config("spark.io.compression.codec", sys.env.getOrElse("GRAFT_CODEC", "zstd"))
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
       .config("spark.local.dir", "/tmp/graft-spark-local")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)

@@ -54,7 +54,7 @@ class DiagSpec extends SparkSpec {
     rows.take(30).foreach(r => info(r.toString))
 
     // also: scored-but-rejected near the boundary
-    val edges = graft.score.PairScorer.score(Blocking.attachFeatures(pairs, feats), graft.score.PairScorer.Config(threshold = 0.0)).cache()
+    val edges = graft.score.PairScorer.score(Blocking.attachFeatures(pairs, feats), graft.score.PairScorer.Config(threshold = 0.0, jaccardFloor = 0.0)).cache()
     val posScored = pos.join(edges, Seq("url_a", "url_b"))
     info("positive score distribution:")
     posScored.select(min($"score"), expr("percentile(score, array(0.01,0.05,0.5))"), max($"score")).collect().foreach(r => info(r.toString))

@@ -46,6 +46,26 @@ class ErPipelineSpec extends SparkSpec {
     assert(res.f1 >= 0.99, s"pairwise F1 ${res.f1} ($res)")
   }
 
+  test("precision holds in the name-collision regime (100k docs)") {
+    // the failure class the 1000-doc gate CANNOT see: with ~16k distinct
+    // first/last combinations, ≥20k entities guarantee same-full-name
+    // different-entity collisions, whose pairs score jaro≈lev≈1 — without
+    // the scorer's conjunctive jaccard floor they leak past the threshold
+    // and transitive closure chains clusters (measured at 600k docs with
+    // τ=0.5/no floor: 4,644 clusters for ~120k entities, precision 0.69;
+    // with τ=0.6 ∧ jaccard ≥ 0.35: precision 1.0000, recall 0.9991).
+    val p3 = CorpusGen.pages(spark, 100000L, seed = 42L).cache()
+    val g3 = CorpusGen.goldPairs(spark, 100000L, seed = 42L).cache()
+    val (clusters, res) = ErPipeline.runAndEvaluate(p3, g3)
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    info(s"100k-doc pairwise $res, clusters=$nClusters")
+    assert(res.precision >= 0.99, s"precision ${res.precision} ($res)")
+    assert(res.recall >= 0.99, s"recall ${res.recall} ($res)")
+    // cluster count ≈ entity count (over-merge collapses it by orders)
+    assert(nClusters > 15000L, s"cluster chaining suspected: $nClusters clusters")
+    p3.unpersist(); g3.unpersist()
+  }
+
   test("hash-id path ≡ string-id path: identical (url, cluster_id) output") {
     // the 128-bit-id hot path (Config.hashIds, the production default) must
     // not change SEMANTICS, only shuffle bytes: same candidate pairs (the
