@@ -106,28 +106,38 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
 
     // tier 2: banding over distinct sets, rep-level pairs, exact verify.
-    // first(hashes) is deterministic here: every row in a setkey group
-    // carries the identical array.
-    val reps = scope.cache(feats.groupBy(col("setkey"))
-      .agg(min(col("id")).as("id"), first(col("hashes")).as("hashes"))
-      .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed)))
-    val blocks = reps.select(
-      explode(minhash_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
-      col("id"))
-    val thin = blockPairs(blocks, struct(col("id")), cfg.maxBlock,
-        cfg.purgeLimit, cfg.snWindow, p => p("id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val ha = reps.select(col("id").as("id_a"), col("hashes").as("h_a"))
-    val hb = reps.select(col("id").as("id_b"), col("hashes").as("h_b"))
-    val nearPairs = thin.join(ha, "id_a").join(hb, "id_b")
-      .withColumn("jaccard", jaccard_sorted(col("h_a"), col("h_b")))
-      .filter(col("jaccard") >= cfg.verifyJaccard) // distinct sets ⇒ jaccard < 1.0
-      .select("id_a", "id_b", "jaccard")
+    // Threshold-aware prune: verifyJaccard ≥ 1.0 admits only equal token
+    // sets, and equal sets share one setkey (the 128-bit hash of the
+    // sorted-distinct hash array) — every qualifying pair is already in
+    // tier 1, and every tier-2 candidate (distinct setkeys ⇒ distinct
+    // sets) verifies to jaccard < 1.0. Skip banding/pair-gen/verify
+    // entirely: "exact-set dedup through the MinHash API" should plan as
+    // exact dedup, not as LSH whose every candidate is rejected.
+    val pairs = if (cfg.verifyJaccard >= 1.0) exactPairs else {
+      // first(hashes) is deterministic here: every row in a setkey group
+      // carries the identical array.
+      val reps = scope.cache(feats.groupBy(col("setkey"))
+        .agg(min(col("id")).as("id"), first(col("hashes")).as("hashes"))
+        .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed)))
+      val blocks = reps.select(
+        explode(minhash_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
+        col("id"))
+      val thin = blockPairs(blocks, struct(col("id")), cfg.maxBlock,
+          cfg.purgeLimit, cfg.snWindow, p => p("id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val ha = reps.select(col("id").as("id_a"), col("hashes").as("h_a"))
+      val hb = reps.select(col("id").as("id_b"), col("hashes").as("h_b"))
+      val nearPairs = thin.join(ha, "id_a").join(hb, "id_b")
+        .withColumn("jaccard", jaccard_sorted(col("h_a"), col("h_b")))
+        .filter(col("jaccard") >= cfg.verifyJaccard) // distinct sets ⇒ jaccard < 1.0
+        .select("id_a", "id_b", "jaccard")
+      exactPairs.unionByName(nearPairs)
+    }
 
     // materialize the (thin) pair output, then free the wide caches now
     // rather than at session end (the bench runs ~25 operators in one JVM)
-    val out = exactPairs.unionByName(nearPairs).dropDuplicates("id_a", "id_b")
+    val out = pairs.dropDuplicates("id_a", "id_b")
       .localCheckpoint(eager = true)
     scope.close()
     out

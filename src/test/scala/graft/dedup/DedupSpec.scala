@@ -63,6 +63,26 @@ class DedupSpec extends SparkSpec {
     outs.tail.foreach(o => assert(o == outs.head, "partitioning changed near-dup output"))
   }
 
+  test("verifyJaccard=1.0 prunes tier 2 without changing the pair set") {
+    // the threshold-aware prune's claim: at verifyJaccard ≥ 1.0 the LSH
+    // tier can emit nothing (distinct setkeys ⇔ distinct token sets ⇒
+    // jaccard < 1), so the pruned plan must equal the unpruned plan's
+    // output filtered to jaccard ≥ 1.0 — verified against a threshold
+    // just below 1.0, which DOES run banding/pair-gen/verify
+    def pairs(thr: Double) =
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+          Dedup.MinHashConfig(verifyJaccard = thr))
+        .collect().map(r => (r.getAs[String]("id_a"), r.getAs[String]("id_b"),
+          r.getAs[Double]("jaccard"))).sortBy(p => (p._1, p._2)).toSeq
+    val pruned = pairs(1.0)
+    val full = pairs(0.999999).filter(_._3 >= 1.0)
+    assert(pruned == full, "pruned path diverged from tier-2 replay")
+    assert(pruned.map(p => (p._1, p._2)) == Seq(("0", "1"), ("3", "4")),
+      "exact-dup pairs expected")
+    // and the near pair (0,2) IS reachable when the threshold admits it
+    assert(pairs(0.5).map(p => (p._1, p._2)).contains(("0", "2")))
+  }
+
   test("star-center pairs are invariant under partitioning (min(struct) contract)") {
     import spark.implicits._
     val members = (0 until 30).map(i => ("hot", f"m$i%03d"))
