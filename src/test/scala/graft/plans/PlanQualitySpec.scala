@@ -117,6 +117,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("minhash at verifyJaccard=1.0 plans without the LSH tier") {
+    // the threshold-aware prune (Dedup.minhashNearDupPairs): a 1.0
+    // threshold admits only equal token sets, all already paired by the
+    // exact tier — the signature/banding/pair-gen/verify stages must not
+    // RUN (they did: ~20s of generate-then-reject-every-candidate per
+    // bench pass at sf0.1). The output rides a localCheckpoint, so the
+    // plan isn't inspectable; assert COST directly by counting the Spark
+    // stages each construction executes — the full path's extra tier
+    // (signature aggregate, banding explode, block stats, two hash joins)
+    // must show up as strictly more stages on identical input.
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"alpha beta gamma word$i text"))
+      .toDF("doc_id", "text").cache()
+    docs.count()
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def stagesFor(thr: Double): Int = {
+      stages.set(0)
+      graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        graft.dedup.Dedup.MinHashConfig(verifyJaccard = thr)).count()
+      Thread.sleep(2000) // listener events post async; settle before reading
+      stages.get()
+    }
+    try {
+      val pruned = stagesFor(1.0)
+      val full = stagesFor(0.7)
+      assert(pruned < full,
+        s"pruned path ran $pruned stages, full path $full — prune not effective")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    docs.unpersist()
+  }
+
   test("scorer is narrow and feature attach joins are broadcast at small scale") {
     import spark.implicits._
     val pages = CorpusGen.pages(spark, 300L, seed = 42L, partitions = 2).cache()
