@@ -607,6 +607,29 @@ object SparkEntry {
           col("b.url").cast("bigint").as("id_b"))
     }),
 
+    "stream_assign" -> ((s, dir) => {
+      // Online ER assignment recall gate (er_clone_pairs style, §2.10):
+      // canonical clusters = exact-text groups (the offline dedup output IS
+      // the canonical store), arriving pages = exact clones (doc_id + 1e6).
+      // A clone's stop-free features equal its text-group rep's, so a
+      // feature-identical cluster exists and scores jw = lev = jaccard =
+      // 1.0 ≥ every gate — the argmax winner must score exactly 1.0 (ties
+      // between normalize-equal text groups are fine: both are
+      // feature-identical by construction). The audit aggregate (every
+      // clone assigned, every assignment at score 1.0) is
+      // DuckDB-predictable from the documents row count alone.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val canonPages = d.select(col("doc_id").cast("string").as("url"), col("text"))
+      val reps = canonPages.groupBy(col("text")).agg(min(col("url")).as("cluster_id"))
+      val clusters = canonPages.join(reps, "text").select(col("url"), col("cluster_id"))
+      val canonical = streaming.EntityAssign.canonicalReps(canonPages, clusters)
+      val pages = d.select((col("doc_id") + 1000000).cast("string").as("url"), col("text"))
+      streaming.EntityAssign.assign(pages, canonical)
+        .filter(col("cluster_id").isNotNull) // novel assignments drop out
+        .agg(count(lit(1)).as("n_assigned"),
+          (min(round(col("score"), 9)) === 1.0).as("all_exact_score"))
+    }),
+
     // ----------------------------------------------- transitive clustering
     "cc_components" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
@@ -1062,6 +1085,12 @@ object SparkEntry {
 
     "er_clone_pairs" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+
+    "stream_assign" ->
+      // every clone is assigned (no novels) and every assignment lands on a
+      // feature-identical cluster (score exactly 1.0) — both predictable
+      // from the row count
+      "SELECT count(*) AS n_assigned, true AS all_exact_score FROM documents",
 
     "text_fingerprints" ->
       // FNV-1a over UTF-16 chars, replayed per character position with

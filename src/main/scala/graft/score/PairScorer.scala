@@ -48,18 +48,41 @@ object PairScorer {
   case class Config(weights: Weights = Weights(), threshold: Double = 0.60,
                     jaccardFloor: Double = 0.35)
 
+  /** The scorer's column bundle — see [[scoreColumns]]. `accept` is the
+    * F3 edge gate: threshold AND conjunctive content floor. */
+  case class ScoreColumns(jaro: org.apache.spark.sql.Column,
+                          levSim: org.apache.spark.sql.Column,
+                          jaccard: org.apache.spark.sql.Column,
+                          score: org.apache.spark.sql.Column,
+                          accept: org.apache.spark.sql.Column)
+
+  /**
+   * Expression form of the weighted score + conjunctive gate, the single
+   * source of truth for every caller that embeds scoring inside a larger
+   * plan (the batch pair scorer below, streaming entity assignment). Pure
+   * codegen'd expressions — no shuffle, no UDF.
+   */
+  def scoreColumns(mentionA: org.apache.spark.sql.Column, mentionB: org.apache.spark.sql.Column,
+                   sigA: org.apache.spark.sql.Column, sigB: org.apache.spark.sql.Column,
+                   cfg: Config = Config()): ScoreColumns = {
+    val jw = jaro_winkler(mentionA, mentionB)
+    val lv = levenshtein_sim(mentionA, mentionB)
+    val jc = minhash_overlap(sigA, sigB)
+    val s = jw * cfg.weights.jaro + lv * cfg.weights.lev + jc * cfg.weights.jaccard
+    ScoreColumns(jw, lv, jc, s, s >= cfg.threshold && jc >= cfg.jaccardFloor)
+  }
+
   /**
    * Input: candidate pairs with payloads (url_a, url_b, mention_a,
    * mention_b, sig_a, sig_b). Output: above-threshold MatchEdge rows.
    */
   def score(pairs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val jw = jaro_winkler(col("mention_a"), col("mention_b"))
-    val lv = levenshtein_sim(col("mention_a"), col("mention_b"))
-    val jc = minhash_overlap(col("sig_a"), col("sig_b"))
+    val sc = scoreColumns(col("mention_a"), col("mention_b"),
+      col("sig_a"), col("sig_b"), cfg)
     pairs
-      .withColumn("jaro", jw)
-      .withColumn("lev_sim", lv)
-      .withColumn("jaccard", jc)
+      .withColumn("jaro", sc.jaro)
+      .withColumn("lev_sim", sc.levSim)
+      .withColumn("jaccard", sc.jaccard)
       .withColumn("score",
         col("jaro") * cfg.weights.jaro +
         col("lev_sim") * cfg.weights.lev +
