@@ -127,11 +127,23 @@ object Blocking {
         .orderBy($"df".desc)
         .limit(cfg.dfStopMax)
         .agg(sort_array(collect_list($"t")).as("stops")) // one row, ≤ dfStopMax longs
+      // Wipeout guard: a doc whose post-stop feature set would fall below
+      // `minTfKeep` keeps its UNstopped features instead (the same fallback
+      // contract tfFilteredHashes applies to the TF filter). Without it,
+      // boilerplate-dominated corpora (tiny shared vocabulary, e.g. short
+      // template pages) get their entire feature set subtracted away: every
+      // doc degenerates to an empty set → one sentinel signature → one
+      // mega-block, and clone recall collapses to the sorted-neighborhood
+      // window. freqHashes ⊆ tokenHashes in the unified hash domain, so one
+      // condition on the freq survivors keeps both columns consistent.
       raw
         .crossJoin(broadcast(stopArr)) // BroadcastNestedLoopJoin of a 1-row build side
-        .withColumn("tokenHashes", array_except($"tokenHashes", $"stops"))
-        .withColumn("freqHashes", array_except($"freqHashes", $"stops"))
-        .drop("stops")
+        .withColumn("freqClean", array_except($"freqHashes", $"stops"))
+        .withColumn("keepAll", size($"freqClean") < cfg.minTfKeep)
+        .withColumn("tokenHashes",
+          when($"keepAll", $"tokenHashes").otherwise(array_except($"tokenHashes", $"stops")))
+        .withColumn("freqHashes", when($"keepAll", $"freqHashes").otherwise($"freqClean"))
+        .drop("stops", "freqClean", "keepAll")
     } else raw
 
     withStops

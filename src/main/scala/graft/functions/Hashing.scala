@@ -97,6 +97,16 @@ object HashKernels {
    * tokens are mostly noise — filtering them sharpens the MinHash Jaccard
    * contrast between same-topic and different-topic documents. Falls back
    * to all distinct tokens when fewer than `minKeep` survive (short docs).
+   *
+   * Per-token hash is `mix64(seed ^ hashU(t))` — EXACTLY [[tokenNgrams]]
+   * with n=1, deliberately: consumers subtract a DF-stop set computed over
+   * `tokenNgrams` output (`Blocking.features`' `array_except(freqHashes,
+   * stops)`), which only works if both kernels hash a given token to the
+   * same value. An earlier version skipped the mix64 wrapper here; the two
+   * domains were disjoint and the DF-stop silently removed nothing from
+   * freqHashes — invisible on short pages (nothing frequent passes TF≥2),
+   * signal-destroying on realistic page lengths where glue vocabulary
+   * repeats in-doc.
    */
   def tfFilteredHashes(tokens: ArrayData, minTf: Int, minKeep: Int, seed: Long): ArrayData = {
     val cnt = tokens.numElements()
@@ -105,7 +115,7 @@ object HashKernels {
     var i = 0
     while (i < cnt) {
       val t = tokens.getUTF8String(i)
-      all(i) = if (t == null) 0L else hashU(t, seed)
+      all(i) = mix64(seed ^ (if (t == null) 0L else hashU(t, seed)))
       i += 1
     }
     java.util.Arrays.sort(all)

@@ -80,13 +80,35 @@ object CorpusGen {
     "economist", "historian", "chemist", "novelist", "violinist", "sculptor",
     "geologist", "linguist", "astronomer", "cartographer", "botanist", "pianist")
 
-  /** 240 deterministic pseudo-words (syllable grid) — the topic vocabulary
-    * pool entities draw from; sized so cross-entity vocab overlap stays low. */
+  /** 240 deterministic pseudo-words (syllable grid) — the INCIDENTAL
+    * (glue) pool paragraphs interleave between topic words. Real pages
+    * share a bounded glue vocabulary; at realistic page lengths these
+    * repeat in-doc and appear across most documents — the DF-stop's
+    * legitimate prey. */
   val FILLER: Array[String] = {
     val a = Array("tor", "ven", "mar", "sol", "bri", "cal", "dor", "fen",
       "gal", "hol", "jun", "kel", "lor", "mir", "nor", "pel", "qui", "ros", "tal", "ver")
     val b = Array("dale", "mont", "wick", "ford", "holm", "stad", "berg", "mere", "rook", "fell")
     for (x <- a; y <- b) yield x + y
+  }
+
+  /** 2000 deterministic pseudo-words (3-syllable grid, disjoint from
+    * [[FILLER]]) — the TOPIC pool entities draw their vocabulary from. A
+    * real corpus' topical vocabulary is orders of magnitude larger than
+    * its glue vocabulary, so topic words stay corpus-RARE at any document
+    * length — the property the TF≥2 + DF-stop feature design rests on.
+    * The old generator drew topics from the 240-word filler pool: at the
+    * bench's 6-paragraph × 80-word pages every pool word repeated in-doc
+    * in ~15% of ALL documents, the DF-stop (correctly) removed the entire
+    * topic signal, and same-entity token jaccard collapsed 0.85 → 0.31
+    * (ScoreDist, 20k docs at 6×80) — a zero-entropy corpus mis-measuring
+    * the engine, not an engine failure. */
+  val TOPIC: Array[String] = {
+    val a = Array("tor", "ven", "mar", "sol", "bri", "cal", "dor", "fen",
+      "gal", "hol", "jun", "kel", "lor", "mir", "nor", "pel", "qui", "ros", "tal", "ver")
+    val b = Array("dale", "mont", "wick", "ford", "holm", "stad", "berg", "mere", "rook", "fell")
+    val c = Array("ar", "en", "is", "on", "ul", "ex", "or", "an", "il", "us")
+    for (x <- a; y <- b; z <- c) yield x + y + z
   }
 
   private val VOWELS = "aeiou"
@@ -157,7 +179,7 @@ object CorpusGen {
     val city = CITY(idx(mix64(h0 + 3), CITY.length))
     val birthYear = 1930 + idx(mix64(h0 + 4), 70)
     val prof = PROFESSION(idx(mix64(h0 + 5), PROFESSION.length))
-    val vocab = Array.tabulate(16)(i => FILLER(idx(mix64(h0 + 10 + i), FILLER.length)))
+    val vocab = Array.tabulate(16)(i => TOPIC(idx(mix64(h0 + 10 + i), TOPIC.length)))
     EntityMeta(entityId, first, last, city, birthYear, prof, vocab)
   }
 

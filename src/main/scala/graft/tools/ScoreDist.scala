@@ -21,6 +21,11 @@ object ScoreDist {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 100000L
     val cores = if (args.length > 1) args(1).toInt else 32
+    // corpus shape matters as much as entity density: the bench/rehearsal
+    // corpora are 6×80 (long pages), the suite default is 2×40 — tune
+    // thresholds against the shape the target workload actually has
+    val paragraphs = if (args.length > 2) args(2).toInt else 2
+    val paraWords = if (args.length > 3) args(3).toInt else 40
     val spark = graft.ops.Sessions.builder(cores, "graft-scoredist")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,7 +35,10 @@ object ScoreDist {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val pages = CorpusGen.pages(spark, nDocs, seed = 42L, partitions = cores * 2).cache()
+    println(s"== shape: nDocs=$nDocs cores=$cores paragraphs=$paragraphs paraWords=$paraWords")
+    val pages = CorpusGen.pages(spark, nDocs, seed = 42L, partitions = cores * 2,
+      paragraphs = paragraphs, paraWords = paraWords).cache()
+    pages.select(avg(length(col("text"))).as("avg_text_len")).show()
     val gold = CorpusGen.goldPairs(spark, nDocs, seed = 42L, partitions = cores * 2).cache()
     val cfg = Blocking.Config()
     val feats = Blocking.features(pages, cfg).cache()

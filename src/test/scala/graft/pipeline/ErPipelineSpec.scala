@@ -82,6 +82,49 @@ class ErPipelineSpec extends SparkSpec {
     p2.unpersist()
   }
 
+  test("end-to-end F1 ≥ 0.99 at the bench corpus shape (6×80)") {
+    // the round-5 regression class: thresholds tuned on the 2×40 suite
+    // shape silently failed at the bench's 6-paragraph × 80-word pages
+    // (pairwise F1 0.37) until the TF-filter/DF-stop hash domains were
+    // unified and topic vocabulary was drawn from a pool disjoint from the
+    // glue fillers. Pin quality at the shape the scaling bench measures.
+    val p4 = CorpusGen.pages(spark, 10000L, seed = 42L,
+      paragraphs = 6, paraWords = 80).cache()
+    val g4 = CorpusGen.goldPairs(spark, 10000L, seed = 42L).cache()
+    val (_, res) = ErPipeline.runAndEvaluate(p4, g4)
+    info(s"6×80-shape pairwise $res")
+    assert(res.f1 >= 0.99, s"pairwise F1 ${res.f1} at 6×80 shape ($res)")
+    p4.unpersist(); g4.unpersist()
+  }
+
+  test("DF-stop wipeout guard: boilerplate-only corpus keeps clone recall") {
+    // a corpus whose ENTIRE vocabulary is corpus-frequent (df > 10%): the
+    // stop list covers every token, and without the minTfKeep fallback in
+    // Blocking.features every doc's feature set is subtracted to empty —
+    // one sentinel signature, one mega-block, clone recall collapsing to
+    // the sorted-neighborhood window (observed on the driver's sf0.001
+    // documents table: 31 distinct tokens, 30 stopped, er_clone_pairs
+    // 7/500). Every exact-clone pair must land in one cluster.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = (0 until 200).map { i =>
+      // every doc: 12 tokens drawn round-robin from the tiny shared pool
+      val text = (0 until 12).map(j => vocab((i * 7 + j * 5) % vocab.length)).mkString(" ")
+      graft.schema.Page(f"doc$i%06d", ts, Array.emptyByteArray, text, "en")
+    }
+    val clones = base.map(p => p.copy(url = "clone" + p.url))
+    val pages5 = spark.createDataset(base ++ clones)
+    val clusters = ErPipeline.run(pages5)
+    val paired = clusters.as("a").join(clusters.as("b"),
+        col("b.url") === concat(lit("clone"), col("a.url")) &&
+        col("a.cluster_id") === col("b.cluster_id"))
+      .count()
+    assert(paired == 200L, s"only $paired/200 clone pairs share a cluster")
+  }
+
   test("scorer: expression path == typed mapPartitions path") {
     import org.apache.spark.sql.functions._
     val feats = Blocking.features(pages, Blocking.Config())
