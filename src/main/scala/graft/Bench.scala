@@ -168,7 +168,8 @@ object Bench {
     val midCores = math.max(loCores * 4, cpus / 4)
     // realistic page volume (~480 body words) so per-doc compute dominates
     // fixed job-scheduling latency in the scaling measurement
-    val corpusDir = s"/tmp/graft-bench-corpus-big-$benchDocs"
+    val corpusDir =
+      s"/tmp/graft-bench-corpus-v${graft.ingest.CorpusGen.generatorVersion}-$benchDocs"
 
     // ---- headline queries FIRST (their JSON must survive any timeout)
     val spark = session(cpus)

@@ -30,6 +30,14 @@ import graft.schema.{GoldCluster, Page}
  */
 object CorpusGen {
 
+  /** Bump on any change to generated CONTENT (vocabulary pools, page/url
+    * shape, perturbation model). Tools that cache a generated corpus on
+    * disk key the cache path on this, so a generator change can never be
+    * silently measured against a stale corpus (round 5: the TOPIC-pool fix
+    * changed every page body while `/tmp/graft-bench-corpus-big-*` kept
+    * `_SUCCESS` from the old generator). */
+  val generatorVersion: Int = 2
+
   val FIRST: Array[String] = Array(
     "james", "mary", "john", "patricia", "robert", "jennifer", "michael", "linda",
     "william", "elizabeth", "david", "barbara", "richard", "susan", "joseph", "jessica",

@@ -43,7 +43,8 @@ object AbIdKeys {
     val nDocs = if (args.length > 0) args(0).toLong else 300000L
     val cores = if (args.length > 1) args(1).toInt else 8
     val runs = if (args.length > 2) args(2).toInt else 2
-    val corpusDir = if (args.length > 3) args(3) else s"/tmp/graft-bench-corpus-big-$nDocs"
+    val corpusDir = if (args.length > 3) args(3)
+      else s"/tmp/graft-bench-corpus-v${graft.ingest.CorpusGen.generatorVersion}-$nDocs"
 
     ScalingSuite.pinSelf(cores, 0)
     val spark = graft.ops.Sessions.builder(cores, "graft-ab-idkeys")
