@@ -611,7 +611,8 @@ object SparkEntry {
       // Online ER assignment recall gate (er_clone_pairs style, §2.10):
       // canonical clusters = exact-text groups (the offline dedup output IS
       // the canonical store), arriving pages = exact clones (doc_id + 1e6).
-      // A clone's stop-free features equal its text-group rep's, so a
+      // A clone's features under the store's frozen stop set equal its
+      // text-group rep's (same text, same stops), so a
       // feature-identical cluster exists and scores jw = lev = jaccard =
       // 1.0 ≥ every gate — the argmax winner must score exactly 1.0 (ties
       // between normalize-equal text groups are fine: both are
@@ -622,9 +623,9 @@ object SparkEntry {
       val canonPages = d.select(col("doc_id").cast("string").as("url"), col("text"))
       val reps = canonPages.groupBy(col("text")).agg(min(col("url")).as("cluster_id"))
       val clusters = canonPages.join(reps, "text").select(col("url"), col("cluster_id"))
-      val canonical = streaming.EntityAssign.canonicalReps(canonPages, clusters)
+      val store = streaming.EntityAssign.buildCanonical(canonPages, clusters)
       val pages = d.select((col("doc_id") + 1000000).cast("string").as("url"), col("text"))
-      streaming.EntityAssign.assign(pages, canonical)
+      streaming.EntityAssign.assign(pages, store)
         .filter(col("cluster_id").isNotNull) // novel assignments drop out
         .agg(count(lit(1)).as("n_assigned"),
           (min(round(col("score"), 9)) === 1.0).as("all_exact_score"))

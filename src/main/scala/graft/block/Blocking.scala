@@ -112,21 +112,7 @@ object Blocking {
     else raw0
 
     val withStops = if (cfg.dfStopRatio < 1.0) {
-      // tokenHashes is sorted-distinct per doc, so counting occurrences of a
-      // hash counts documents; the sentinel (impossible output of mix64-seeded
-      // hashing in practice — collision would only add ±1 to the doc count)
-      // appears once per row, making df(sentinel) the corpus size
-      val sentinel = Long.MinValue
-      val dfs = raw
-        .select(explode(concat($"tokenHashes", array(lit(sentinel)))).as("t"))
-        .groupBy($"t").agg(count(lit(1)).as("df"))
-      val nDocs = dfs.filter($"t" === sentinel).select($"df".as("nDocs"))
-      val stopArr = dfs
-        .crossJoin(broadcast(nDocs))
-        .filter($"t" =!= sentinel && $"df" > $"nDocs" * cfg.dfStopRatio)
-        .orderBy($"df".desc)
-        .limit(cfg.dfStopMax)
-        .agg(sort_array(collect_list($"t")).as("stops")) // one row, ≤ dfStopMax longs
+      val stopArr = dfStopSet(raw, cfg)
       // Wipeout guard: a doc whose post-stop feature set would fall below
       // `minTfKeep` keeps its UNstopped features instead (the same fallback
       // contract tfFilteredHashes applies to the TF filter). Without it,
@@ -149,6 +135,37 @@ object Blocking {
     withStops
       .withColumn("sig", minhash_signature(col("freqHashes"), cfg.minhashHashes, cfg.seed))
       .drop("freqHashes")
+  }
+
+  /**
+   * One-row DF-stop set — `(stops: sorted ARRAY<LONG>)` — over a
+   * `tokenHashes` column of per-doc sorted-distinct token hashes.
+   *
+   * tokenHashes is sorted-distinct per doc, so counting occurrences of a
+   * hash counts documents; the sentinel (impossible output of mix64-seeded
+   * hashing in practice — collision would only add ±1 to the doc count)
+   * rides the same explode once per row, making df(sentinel) the corpus
+   * size — ONE map-side-combined aggregation, no separate `count()` scan.
+   * The result is provably ≤ avgTokensPerDoc / dfStopRatio entries
+   * regardless of corpus size (each doc contributes ≤ avgTokensPerDoc df
+   * increments and a stop needs > nDocs·ratio of them), kept broadcastable
+   * by the `dfStopMax` hard cap. Shared by the offline [[features]] pass
+   * and by [[graft.streaming.EntityAssign]], which freezes this set at
+   * store-build time so online scoring sees the corpus statistics the
+   * store was minted with.
+   */
+  private[graft] def dfStopSet(tokenized: DataFrame, cfg: Config = Config()): DataFrame = {
+    val sentinel = Long.MinValue
+    val dfs = tokenized
+      .select(explode(concat(col("tokenHashes"), array(lit(sentinel)))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = dfs.filter(col("t") === sentinel).select(col("df").as("nDocs"))
+    dfs
+      .crossJoin(broadcast(nDocs))
+      .filter(col("t") =!= sentinel && col("df") > col("nDocs") * cfg.dfStopRatio)
+      .orderBy(col("df").desc)
+      .limit(cfg.dfStopMax)
+      .agg(sort_array(collect_list(col("t"))).as("stops")) // one row, ≤ dfStopMax longs
   }
 
   /**

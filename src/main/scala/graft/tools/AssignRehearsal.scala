@@ -82,13 +82,14 @@ object AssignRehearsal {
     val nEntities = math.max(1L, canonDocs / 5) // CorpusGen avgClusterSize default
 
     // ---- corpus + arriving mix (generation excluded from measured phases)
-    val corpusDir = s"/tmp/graft-assign-corpus-$canonDocs"
+    val corpusDir = s"/tmp/graft-assign-corpus-v${CorpusGen.generatorVersion}-$canonDocs"
     if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
       CorpusGen.pages(spark, canonDocs, seed = 42L, partitions = cores * 2,
           paragraphs = 6, paraWords = 80) // same shape as the bench rule corpus
         .write.mode("overwrite").parquet(corpusDir)
     }
-    val arriveDir = s"/tmp/graft-assign-arrive-$arriveKnown-$arriveNovel"
+    val arriveDir =
+      s"/tmp/graft-assign-arrive-v${CorpusGen.generatorVersion}-$arriveKnown-$arriveNovel"
     if (!new java.io.File(s"$arriveDir/_SUCCESS").exists()) {
       // known: NEW pages (unseen doc indices) of entities the canonical
       // corpus already covers; gold = the entity the page renders
@@ -112,8 +113,8 @@ object AssignRehearsal {
     {
       val tiny = CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)
       val tinyAssigned = ErPipeline.run(tiny)
-      val tinyCanon = EntityAssign.canonicalReps(tiny.toDF(), tinyAssigned)
-      EntityAssign.assign(tiny.limit(200).toDF(), tinyCanon).count()
+      val tinyStore = EntityAssign.buildCanonical(tiny.toDF(), tinyAssigned)
+      EntityAssign.assign(tiny.limit(200).toDF(), tinyStore).count()
     }
     stats.resetSettled()
 
@@ -130,10 +131,12 @@ object AssignRehearsal {
     println(f"""{"phase":"offline_build","docs":$canonDocs,"sec":$erSec%.1f,"docs_per_sec":${canonDocs / erSec}%.0f,"clustered_urls":$clusteredUrls,"pair_f1":${f1.f1}%.4f,"pair_p":${f1.precision}%.4f,"pair_r":${f1.recall}%.4f,"shuffle_write_gb":${gb(erShuf)}%.2f,"stages":$erStages}""")
     Console.flush()
 
-    // ---- 2. once-per-rebuild prepare (reps + keyed/hot-pruned store)
+    // ---- 2. once-per-rebuild prepare (frozen stops + reps + keyed/hot-
+    // pruned store — the full rebuild-time artifact, including the corpus
+    // scan that mints the stop set)
     val prepared = EntityAssign.prepareCanonical(
-      EntityAssign.canonicalReps(pages.toDF(), assigned)).persist()
-    val (preparedRows, prepSec) = timed { prepared.count() }
+      EntityAssign.buildCanonical(pages.toDF(), assigned)).persist()
+    val (preparedRows, prepSec) = timed { prepared.stops.count(); prepared.keyed.count() }
     val nClusters = assigned.agg(countDistinct(col("cluster_id"))).first().getLong(0)
     val (prepShuf, prepStages) = stats.resetSettled()
     println(f"""{"phase":"prepare","clusters":$nClusters,"prepared_rows":$preparedRows,"sec":$prepSec%.1f,"shuffle_write_gb":${gb(prepShuf)}%.2f,"stages":$prepStages}""")
