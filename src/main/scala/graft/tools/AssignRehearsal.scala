@@ -121,8 +121,14 @@ object AssignRehearsal {
     // ---- 1. offline rebuild: the store the online path serves
     val pages = spark.read.parquet(corpusDir)
       .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
-    val assigned = ErPipeline.run(pages).persist()
-    val (clusteredUrls, erSec) = timed { assigned.count() }
+    // ErPipeline.run materializes its stages EAGERLY (checkpointed CC
+    // loop), so the run() call itself must sit inside the timed block —
+    // timing only the trailing count() reported a fantasy 300k+ docs/sec
+    // offline number in the first round-5 rehearsals
+    val (assigned, erSec) = timed {
+      val a = ErPipeline.run(pages).persist(); a.count(); a
+    }
+    val clusteredUrls = assigned.count()
     val (erShuf, erStages) = stats.resetSettled()
     // store quality on the labeled pairs (diagnostic, off the timed path):
     // the online routing accuracy below is bounded by what the store got right
