@@ -134,7 +134,33 @@ object ScalingSuite {
     val shufflePartitions = sys.env.get("GRAFT_STATIC_PARTS").map(_.toInt)
       .getOrElse(coreList.max * 2)
 
-    // rolling wall estimate per core count, for the deadline guard
+    // Warm the host page cache over the corpus ONCE, before any timed
+    // sample: the first sample of a freshly generated (or freshly booted)
+    // corpus otherwise pays cold-read inflation that no CPU canary can see
+    // (round-5: first 8-core sample 112 s vs 72 s warm on the same corpus,
+    // and a cold+throttled 2-core sample then poisoned the deadline
+    // estimator). Sequential byte drain, excluded from all timing.
+    {
+      val dir = java.nio.file.Paths.get(corpusDir)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val buf = new Array[Byte](1 << 20)
+        scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+          st.forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p)) {
+              try scala.util.Using.resource(java.nio.file.Files.newInputStream(p)) { in =>
+                while (in.read(buf) >= 0) ()
+              } catch { case _: java.io.IOException => () }
+            }
+          }
+        }
+      }
+    }
+
+    // rolling wall estimate per core count for the deadline guard — the
+    // MINIMUM observed wall, not the last: a single weather-inflated
+    // sample (observed: 540 s vs 256 s warm-clean at 2 cores) would
+    // otherwise veto every remaining sample at that core count, starving
+    // exactly the side the rule ratio needs
     val lastWall = scala.collection.mutable.Map.empty[Int, Double]
     val sampleIdx = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
 
@@ -249,7 +275,7 @@ object ScalingSuite {
         val canary = math.max(canaryPre, canaryPost)
         val canaryPar = canaryParSec(cores)
         spark.stop()
-        lastWall(cores) = best
+        lastWall(cores) = math.min(lastWall.getOrElse(cores, Double.MaxValue), best)
         println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_during=$canaryDuring%.2f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f cpu_window=$winStart")
         Console.flush()
       }
