@@ -355,6 +355,20 @@ object ConnectedComponents {
       : (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column, () => Unit) = {
     import spark.implicits._
     val nodeType = edges.schema("u").dataType
+    nodeType match {
+      // the production default (ErPipeline.Config.hashIds) finishes on
+      // 128-bit struct ids: specialize to primitive arrays — the generic
+      // path below collects boxed Rows, builds a HashMap[Row, Row] and
+      // broadcasts it through java serialization, which stage telemetry
+      // measured as a 7.6 s single-threaded driver gap at the 2 M-edge
+      // budget (900k-doc corpus) — pure core-count-independent floor that
+      // caps the N-vs-4N scaling ratio
+      case st: org.apache.spark.sql.types.StructType
+          if st.fields.length == 2 &&
+            st.fields.forall(_.dataType == org.apache.spark.sql.types.LongType) =>
+        return localFinish128(spark, edges, st)
+      case _ => ()
+    }
     val ord = nodeOrdering(nodeType)
     val pairs = edges.select($"u", $"v").collect()
 
@@ -406,6 +420,114 @@ object ConnectedComponents {
         if (v == null) u else v // absent node = its own singleton component
       }
     }, nodeType)
+    val assign = edges.select($"u".as("url")).unionAll(edges.select($"v".as("url")))
+      .distinct()
+      .select($"url", look($"url").as("cluster_id"))
+    (assign, (c: org.apache.spark.sql.Column) => look(c), () => bc.destroy())
+  }
+
+  /** [[localFinish]] specialized to STRUCT<long,long> node ids (the hot
+    * path): edges collect as four primitive longs per row, the node→dense-id
+    * map is one open-addressed probe table in flat long arrays, and the
+    * broadcast ships five primitive arrays instead of a generic
+    * HashMap[Row, Row] — same union-find, same min-(field-by-field-signed)
+    * labeling contract as [[nodeOrdering]], ~0 boxing. Pinned against the
+    * generic path by the union-find property suite and the ErPipelineSpec
+    * hash-id ≡ string-id end-to-end test. */
+  private def localFinish128(spark: SparkSession, edges: DataFrame,
+                             st: org.apache.spark.sql.types.StructType)
+      : (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column, () => Unit) = {
+    import spark.implicits._
+    val (f0, f1) = (st.fields(0).name, st.fields(1).name)
+    val quads = edges
+      .select(col("u").getField(f0), col("u").getField(f1),
+        col("v").getField(f0), col("v").getField(f1))
+      .as[(Long, Long, Long, Long)].collect()
+
+    val nEdges = quads.length
+    val maxNodes = math.max(2, 2 * nEdges)
+    // open-addressed (hi, lo) → dense-int map; capacity ≥ 2× max distinct
+    // nodes and a power of two, so load factor stays ≤ 0.5
+    var cap = 16
+    while (cap < maxNodes * 2) cap <<= 1
+    val mask = cap - 1
+    val slotHi = new Array[Long](cap)
+    val slotLo = new Array[Long](cap)
+    val slotId = new Array[Int](cap); java.util.Arrays.fill(slotId, -1)
+    val nameHi = new Array[Long](maxNodes)
+    val nameLo = new Array[Long](maxNodes)
+    var nNames = 0
+    @inline def probe(hi: Long, lo: Long): Int = {
+      var h = (hi ^ (lo * 0x9e3779b97f4a7c15L))
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      var s = h.toInt & mask
+      while (slotId(s) >= 0 && (slotHi(s) != hi || slotLo(s) != lo)) s = (s + 1) & mask
+      s
+    }
+    def id(hi: Long, lo: Long): Int = {
+      val s = probe(hi, lo)
+      if (slotId(s) >= 0) slotId(s)
+      else {
+        slotHi(s) = hi; slotLo(s) = lo; slotId(s) = nNames
+        nameHi(nNames) = hi; nameLo(nNames) = lo; nNames += 1
+        nNames - 1
+      }
+    }
+    val parent = new Array[Int](maxNodes)
+    @inline def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var e = 0
+    while (e < nEdges) {
+      val (ah, al, bh, bl) = quads(e)
+      val before = nNames
+      val ia = id(ah, al); val ib = id(bh, bl)
+      var k = before
+      while (k < nNames) { parent(k) = k; k += 1 }
+      val ra = find(ia); val rb = find(ib)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      e += 1
+    }
+    // min-id label per root: signed field-by-field compare, identical to
+    // the distributed path's min(struct) / nodeOrdering
+    @inline def less(h1: Long, l1: Long, h2: Long, l2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && l1 < l2)
+    val minIdx = new Array[Int](nNames); java.util.Arrays.fill(minIdx, -1)
+    var i = 0
+    while (i < nNames) {
+      val r = find(i)
+      val cur = minIdx(r)
+      if (cur < 0 || less(nameHi(i), nameLo(i), nameHi(cur), nameLo(cur))) minIdx(r) = i
+      i += 1
+    }
+    val labHi = new Array[Long](nNames)
+    val labLo = new Array[Long](nNames)
+    i = 0
+    while (i < nNames) {
+      val m = minIdx(find(i))
+      labHi(i) = nameHi(m); labLo(i) = nameLo(m)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((slotHi, slotLo, slotId, labHi, labLo, mask))
+    val look = udf(new org.apache.spark.sql.api.java.UDF1[AnyRef, AnyRef] {
+      override def call(u: AnyRef): AnyRef = {
+        val row = u.asInstanceOf[org.apache.spark.sql.Row]
+        if (row == null) return u
+        val hi = row.getLong(0); val lo = row.getLong(1)
+        val (sh, sl, sid, lh, ll, m) = bc.value
+        var h = (hi ^ (lo * 0x9e3779b97f4a7c15L))
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        var s = h.toInt & m
+        while (sid(s) >= 0 && (sh(s) != hi || sl(s) != lo)) s = (s + 1) & m
+        val v = sid(s)
+        if (v < 0) u // absent node = its own singleton component
+        else org.apache.spark.sql.Row(lh(v), ll(v))
+      }
+    }, st)
     val assign = edges.select($"u".as("url")).unionAll(edges.select($"v".as("url")))
       .distinct()
       .select($"url", look($"url").as("cluster_id"))
