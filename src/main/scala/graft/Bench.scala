@@ -303,11 +303,24 @@ object Bench {
       //      whose pre AND post canaries both read clean). The probe gate
       //      is looser than (a) because a max over ~30 draws sits above a
       //      single draw even in steady weather.
-      // The headline efficiency is computed from the fastest CLEAN sample
-      // on each side of the rule pair when both exist; otherwise it falls
-      // back to the raw minima and the result is flagged `throttled` — the
-      // adjudication the round-3 verdict had to do by hand now ships in
-      // the JSON.
+      // The cleanliness gates are applied ASYMMETRICALLY, because host
+      // weather is one-directional — throttling only ever SLOWS a run:
+      //  - LO side (numerator): every sample ≥ the true clean wall, and the
+      //    failure mode the round-3 verdict flagged is a weather-inflated
+      //    low-core baseline FLATTERING the ratio. The lo minimum therefore
+      //    comes from CLEAN samples only (all three gates).
+      //  - HI side (denominator): a throttled hi sample is slower than its
+      //    clean self, so ANY hi wall — clean or not — is a valid upper
+      //    bound on the clean hi wall, and using the overall minimum can
+      //    only UNDERSTATE efficiency (conservative). Gating the hi side
+      //    buys no soundness and was observed to discard the FASTEST hi
+      //    sample over a marginal in-run probe draw (59.9 s at probe 1.19
+      //    vs threshold 1.155), pushing the published ratio from 0.815 to
+      //    0.735 in the same suite run. Hi-side canaries are still
+      //    published per sample for transparency.
+      // Otherwise it falls back to the raw minima and the result is flagged
+      // `throttled` — the adjudication the round-3 verdict had to do by
+      // hand ships in the JSON.
       val allCanaries = samples.values.flatten.map(_._2).filter(_ > 0).toSeq
       val bestCanary = allCanaries.minOption
       def cleanBest(c: Int): Option[(Double, Double)] = bestCanary.flatMap { b =>
@@ -317,8 +330,10 @@ object Bench {
             (s._4 <= 0 || s._4 <= b * 1.5))
         clean.sortBy(_._1).headOption.map(s => (s._1, s._2))
       }
+      def anyBest(c: Int): Option[(Double, Double)] =
+        samples.getOrElse(c, Nil).sortBy(_._1).headOption.map(s => (s._1, s._2))
       val cleanLo = cleanBest(loCores)
-      val cleanHi = cleanBest(midCores)
+      val cleanHi = anyBest(midCores)
       val cleanEff = for { l <- cleanLo; h <- cleanHi }
         yield l._1 / ((midCores.toDouble / loCores) * h._1)
       val rawRule = eff(loCores, midCores)
@@ -345,7 +360,13 @@ object Bench {
         f""""throttled":$throttled,""" +
         f""""scaling_efficiency_${loCores}_to_${midCores}_raw":${fmt(rawRule)},""" +
         f""""scaling_efficiency_${loCores}_to_$midCores":${fmt(qualified)},""" +
-        f""""scaling_efficiency_${midCores}_to_$cpus":${fmt(eff(midCores, cpus))},""" +
+        f""""scaling_efficiency_${midCores}_to_$cpus":${fmt({
+          // same asymmetry for the descriptive 16N curve point: clean lo
+          // (8-core) minimum over the overall hi (32-core) minimum
+          val curve = for { l <- cleanBest(midCores); h <- anyBest(cpus) }
+            yield l._1 / ((cpus.toDouble / midCores) * h._1)
+          curve.orElse(eff(midCores, cpus))
+        })},""" +
         f""""scaling_efficiency":${fmt(qualified)}}"""
       println(headlineJson + "," + erBench + "}")
       Console.flush()
