@@ -60,8 +60,9 @@ object Bench {
     * and is hard-killed (with partial results kept) if it outlives
     * `deadlineEpochSec` + grace. Returns cores -> all completed samples. */
   /** Per-sample record: wall, canary (worst pre/post bracket), parallel
-    * canary, in-run probe canary (0 when no probe ran). */
-  type Sample = (Double, Double, Double, Double)
+    * canary, in-run probe canary (0 when no probe ran), memory-bandwidth
+    * canary (worst pre/post bracket; 0 on suites that predate it). */
+  type Sample = (Double, Double, Double, Double, Double)
 
   private def spawnScalingSuite(corpusDir: String, coreList: Seq[Int],
                                 runs: Int, deadlineEpochSec: Long,
@@ -98,7 +99,8 @@ object Bench {
           val snapshot = results.synchronized {
             results += (parts(1).toInt ->
               (parts(2).toDouble, field("canary="), field("canary_par="),
-                math.max(0.0, field("canary_during="))))
+                math.max(0.0, field("canary_during=")),
+                math.max(0.0, field("canary_mem="))))
             results.toSeq
           }
           System.err.println(s"[bench] $l") // progress visible in driver logs
@@ -323,11 +325,21 @@ object Bench {
       // hand ships in the JSON.
       val allCanaries = samples.values.flatten.map(_._2).filter(_ > 0).toSeq
       val bestCanary = allCanaries.minOption
+      // The MEMORY canary gate closes the hole the ALU gates cannot see:
+      // host co-tenant DRAM-bandwidth pressure inflates this memory-bound
+      // job's walls while every ALU canary reads clean (observed: a 259 s
+      // 2-core wall — clean floor ~195 s — bracketed by 0.77 ALU canaries,
+      // which pushed the published lo-clean ratio ABOVE 1.0). Gated at
+      // 1.25× the session's best mem canary (wider than the ALU 1.15×:
+      // a 1 GB stream is a higher-variance draw). Samples predating the
+      // field (mem = 0) pass, keeping old logs parseable.
+      val bestMem = samples.values.flatten.map(_._5).filter(_ > 0).minOption
       def cleanBest(c: Int): Option[(Double, Double)] = bestCanary.flatMap { b =>
         val clean = samples.getOrElse(c, Nil).filter(s =>
           s._2 > 0 && s._2 <= b * 1.15 &&
             (s._3 <= 0 || s._3 <= s._2 * 1.5) &&
-            (s._4 <= 0 || s._4 <= b * 1.5))
+            (s._4 <= 0 || s._4 <= b * 1.5) &&
+            (s._5 <= 0 || bestMem.forall(m => s._5 <= m * 1.25)))
         clean.sortBy(_._1).headOption.map(s => (s._1, s._2))
       }
       def anyBest(c: Int): Option[(Double, Double)] =
@@ -346,11 +358,12 @@ object Bench {
       val scalingJson = coreSet.flatMap(c => scaling.get(c).map(c -> _)).map {
         case (c, (tput, sec, ss)) =>
           // every sample published with its host-weather canaries:
-          // [wall, worst pre/post 1-thread canary, c-thread canary,
-          //  worst in-run probe] per sample
-          val all = ss.map { case (w, cn, cp, cd) => f"[$w%.1f,$cn%.2f,$cp%.2f,$cd%.2f]" }
+          // [wall, worst pre/post 1-thread ALU canary, c-thread canary,
+          //  worst in-run probe, worst pre/post memory canary] per sample
+          val all = ss.map { case (w, cn, cp, cd, cm) =>
+            f"[$w%.1f,$cn%.2f,$cp%.2f,$cd%.2f,$cm%.3f]" }
             .mkString("[", ",", "]")
-          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_par_during":$all}"""
+          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_par_during_mem":$all}"""
       }.mkString(",")
       val erBench =
         f""""er_bench":{"docs":$benchDocs,"pinned":true,$scalingJson""" +

@@ -94,6 +94,32 @@ object ScalingSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Single-thread MEMORY-BANDWIDTH canary: stream-sum a 256 MB long array
+    * 4× (1 GB of traffic, ~0.1-0.4 s uncontended). The ALU canaries above
+    * are blind to host co-tenant DRAM pressure, which is precisely what
+    * inflates this memory-bound job's walls: a full bench run bracketed a
+    * 259 s 2-core wall (clean floor ~195 s on the same binary/corpus) with
+    * 0.77 ALU canaries on both sides and a quiet in-run probe. Allocated
+    * once and pre-touched so the measurement is reads, not page faults. */
+  private val memCanaryArr: Array[Long] = {
+    val a = new Array[Long](32 << 20)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong; i += 1024 } // touch every page
+    a
+  }
+  private def canaryMemSec(): Double = {
+    val t0 = System.nanoTime()
+    var s = 0L
+    var pass = 0
+    while (pass < 4) {
+      var i = 0
+      while (i < memCanaryArr.length) { s += memCanaryArr(i); i += 1 }
+      pass += 1
+    }
+    if (s == 42) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Start the probe JVM on `cpu`; returns (process, max-seen getter). */
   private def startWeatherProbe(cpu: Int): (Process, () => Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -242,6 +268,7 @@ object ScalingSuite {
         // unknowable; a round-4 trial caught a 5×-throttled run whose
         // pre AND post canaries both read clean)
         val canaryPre = canarySec()
+        val canaryMemPre = canaryMemSec()
         // in-run probe on the first CPU past the job's window (host
         // throttling is VM-wide, so an outside-mask observer sees it
         // without perturbing the pinned job); absent when the job owns
@@ -279,11 +306,13 @@ object ScalingSuite {
         val canaryDuring = probe.map(_._2()).getOrElse(0.0)
         probe.foreach(_._1.destroyForcibly())
         val canaryPost = canarySec()
+        val canaryMemPost = canaryMemSec()
         val canary = math.max(canaryPre, canaryPost)
+        val canaryMem = math.max(canaryMemPre, canaryMemPost)
         val canaryPar = canaryParSec(cores)
         spark.stop()
         lastWall(cores) = math.min(lastWall.getOrElse(cores, Double.MaxValue), best)
-        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_during=$canaryDuring%.2f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f cpu_window=$winStart")
+        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_during=$canaryDuring%.2f canary_mem=$canaryMem%.3f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f cpu_window=$winStart")
         Console.flush()
       }
     }
