@@ -329,17 +329,22 @@ object Bench {
       // host co-tenant DRAM-bandwidth pressure inflates this memory-bound
       // job's walls while every ALU canary reads clean (observed: a 259 s
       // 2-core wall — clean floor ~195 s — bracketed by 0.77 ALU canaries,
-      // which pushed the published lo-clean ratio ABOVE 1.0). Gated at
-      // 1.25× the session's best mem canary (wider than the ALU 1.15×:
-      // a 1 GB stream is a higher-variance draw). Samples predating the
-      // field (mem = 0) pass, keeping old logs parseable.
+      // which pushed the published lo-clean ratio ABOVE 1.0). The statistic
+      // is the MIN of the two bracket medians (ScalingSuite.memBracketSec):
+      // sustained pressure spanning the run elevates both brackets, while a
+      // transient single-draw spike must not reject a genuinely fast sample
+      // (observed: a 0.261 s draw bracketing the fastest 2-core wall ever
+      // measured). Gated at 1.3× the session's best — wider than the ALU
+      // 1.15× because even bracket medians drew 0.176-0.221 s across
+      // minutes of steady clean weather. Samples predating the field
+      // (mem = 0) pass, keeping old logs parseable.
       val bestMem = samples.values.flatten.map(_._5).filter(_ > 0).minOption
       def cleanBest(c: Int): Option[(Double, Double)] = bestCanary.flatMap { b =>
         val clean = samples.getOrElse(c, Nil).filter(s =>
           s._2 > 0 && s._2 <= b * 1.15 &&
             (s._3 <= 0 || s._3 <= s._2 * 1.5) &&
             (s._4 <= 0 || s._4 <= b * 1.5) &&
-            (s._5 <= 0 || bestMem.forall(m => s._5 <= m * 1.25)))
+            (s._5 <= 0 || bestMem.forall(m => s._5 <= m * 1.3)))
         clean.sortBy(_._1).headOption.map(s => (s._1, s._2))
       }
       def anyBest(c: Int): Option[(Double, Double)] =

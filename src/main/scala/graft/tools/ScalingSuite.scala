@@ -120,6 +120,16 @@ object ScalingSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One memory-canary BRACKET = median of 3 draws: a single 1 GB stream
+    * is a high-variance instant (observed 0.176-0.261 s across minutes of
+    * steady clean weather — and a 0.261 draw bracketing the fastest 2-core
+    * wall ever measured), so one hot draw must not poison a bracket. */
+  private def memBracketSec(): Double = {
+    val d = Array(canaryMemSec(), canaryMemSec(), canaryMemSec())
+    java.util.Arrays.sort(d)
+    d(1)
+  }
+
   /** Start the probe JVM on `cpu`; returns (process, max-seen getter). */
   private def startWeatherProbe(cpu: Int): (Process, () => Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -189,6 +199,15 @@ object ScalingSuite {
     // exactly the side the rule ratio needs
     val lastWall = scala.collection.mutable.Map.empty[Int, Double]
     val sampleIdx = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    // one-time FULL-CORPUS warm pass (first point only, discarded): the
+    // 2000-doc per-point warmup compiles the small-plan codegen, but AQE
+    // gives the big corpus different plan shapes, and their janino
+    // compilation otherwise lands in the suite's first timed sample —
+    // observed as a consistent first-point tax across four suites (first
+    // in-suite 8-core walls 62-103 s vs 45-60 s for every later sample).
+    // Spark's generated-class cache is JVM-static, so one discarded big
+    // run amortizes it for every following point and core count.
+    var warmedBig = false
 
     coreList.foreach { cores =>
       val estimate = lastWall.getOrElse(cores, 60.0) * (runs + 0.5)
@@ -257,6 +276,11 @@ object ScalingSuite {
 
         // JIT/codegen warm-up at this core count (excluded from timing)
         ErPipeline.run(CorpusGen.pages(spark, 2000L, seed = 7L, partitions = cores)).count()
+        if (!warmedBig) {
+          ErPipeline.run(spark.read.parquet(corpusDir)
+            .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])).count()
+          warmedBig = true
+        }
         stats.clear()
 
         // host-weather canary BEFORE the timed window (paired with one
@@ -268,7 +292,7 @@ object ScalingSuite {
         // unknowable; a round-4 trial caught a 5×-throttled run whose
         // pre AND post canaries both read clean)
         val canaryPre = canarySec()
-        val canaryMemPre = canaryMemSec()
+        val canaryMemPre = memBracketSec()
         // in-run probe on the first CPU past the job's window (host
         // throttling is VM-wide, so an outside-mask observer sees it
         // without perturbing the pinned job); absent when the job owns
@@ -306,9 +330,14 @@ object ScalingSuite {
         val canaryDuring = probe.map(_._2()).getOrElse(0.0)
         probe.foreach(_._1.destroyForcibly())
         val canaryPost = canarySec()
-        val canaryMemPost = canaryMemSec()
+        val canaryMemPost = memBracketSec()
         val canary = math.max(canaryPre, canaryPost)
-        val canaryMem = math.max(canaryMemPre, canaryMemPost)
+        // MIN of the two bracket medians: sustained DRAM pressure spanning
+        // the run elevates BOTH brackets, so the min is elevated exactly
+        // when the signature is present; pressure touching only one edge
+        // leaves the min clean (tolerated — partial overlap inflates the
+        // wall far less than the sustained case the gate exists for)
+        val canaryMem = math.min(canaryMemPre, canaryMemPost)
         val canaryPar = canaryParSec(cores)
         spark.stop()
         lastWall(cores) = math.min(lastWall.getOrElse(cores, Double.MaxValue), best)
