@@ -61,8 +61,10 @@ object Bench {
     * `deadlineEpochSec` + grace. Returns cores -> all completed samples. */
   /** Per-sample record: wall, canary (worst pre/post bracket), parallel
     * canary, in-run probe canary (0 when no probe ran), memory-bandwidth
-    * canary (worst pre/post bracket; 0 on suites that predate it). */
-  type Sample = (Double, Double, Double, Double, Double)
+    * canary (min of pre/post bracket medians), pointer-chase latency
+    * canary (min of pre/post bracket medians). Mem/lat read 0 on suites
+    * predating their fields. */
+  type Sample = (Double, Double, Double, Double, Double, Double)
 
   private def spawnScalingSuite(corpusDir: String, coreList: Seq[Int],
                                 runs: Int, deadlineEpochSec: Long,
@@ -100,7 +102,8 @@ object Bench {
             results += (parts(1).toInt ->
               (parts(2).toDouble, field("canary="), field("canary_par="),
                 math.max(0.0, field("canary_during=")),
-                math.max(0.0, field("canary_mem="))))
+                math.max(0.0, field("canary_mem=")),
+                math.max(0.0, field("canary_lat="))))
             results.toSeq
           }
           System.err.println(s"[bench] $l") // progress visible in driver logs
@@ -339,22 +342,37 @@ object Bench {
       // minutes of steady clean weather. Samples predating the field
       // (mem = 0) pass, keeping old logs parseable.
       val bestMem = samples.values.flatten.map(_._5).filter(_ > 0).minOption
+      // Pointer-chase LATENCY canary gate (see ScalingSuite.canaryLatSec):
+      // the third contention axis. A run was observed whose 2-core walls
+      // sat 35% over their clean floor with EVERY compute and bandwidth
+      // canary flat — LLC/memory-latency pressure, which prefetchers hide
+      // from streaming canaries while dependent hash-probe loads (and the
+      // chase canary) eat it in full.
+      val bestLat = samples.values.flatten.map(_._6).filter(_ > 0).minOption
       def cleanBest(c: Int): Option[(Double, Double)] = bestCanary.flatMap { b =>
         val clean = samples.getOrElse(c, Nil).filter(s =>
           s._2 > 0 && s._2 <= b * 1.15 &&
             (s._3 <= 0 || s._3 <= s._2 * 1.5) &&
             (s._4 <= 0 || s._4 <= b * 1.5) &&
-            (s._5 <= 0 || bestMem.forall(m => s._5 <= m * 1.3)))
+            (s._5 <= 0 || bestMem.forall(m => s._5 <= m * 1.3)) &&
+            (s._6 <= 0 || bestLat.forall(m => s._6 <= m * 1.3)))
         clean.sortBy(_._1).headOption.map(s => (s._1, s._2))
       }
       def anyBest(c: Int): Option[(Double, Double)] =
         samples.getOrElse(c, Nil).sortBy(_._1).headOption.map(s => (s._1, s._2))
       val cleanLo = cleanBest(loCores)
       val cleanHi = anyBest(midCores)
-      val cleanEff = for { l <- cleanLo; h <- cleanHi }
-        yield l._1 / ((midCores.toDouble / loCores) * h._1)
+      // PHYSICAL PLAUSIBILITY: eff(N→4N) > 1 has no mechanism for this job
+      // (the low-core point has MORE cache and bandwidth per thread, never
+      // less), so a ratio above 1 PROVES the lo-side minimum is inflated by
+      // weather none of the gates saw (observed once: 1.143 published from
+      // a run whose only 2-core samples sat in an LLC-pressure window).
+      // Such a pair is degraded to `throttled` rather than published as
+      // clean; the raw ratio gets the same filter before qualifying.
+      val cleanEff = (for { l <- cleanLo; h <- cleanHi }
+        yield l._1 / ((midCores.toDouble / loCores) * h._1)).filter(_ <= 1.0)
       val rawRule = eff(loCores, midCores)
-      val qualified = cleanEff.orElse(rawRule)
+      val qualified = cleanEff.orElse(rawRule.filter(_ <= 1.0))
       val throttled = rawRule.isDefined && cleanEff.isEmpty
       val cleanPairJson = (for { l <- cleanLo; h <- cleanHi; e <- cleanEff } yield
         f"""{"lo_cores":$loCores,"hi_cores":$midCores,"lo_sec":${l._1}%.1f,"hi_sec":${h._1}%.1f,""" +
@@ -364,11 +382,11 @@ object Bench {
         case (c, (tput, sec, ss)) =>
           // every sample published with its host-weather canaries:
           // [wall, worst pre/post 1-thread ALU canary, c-thread canary,
-          //  worst in-run probe, worst pre/post memory canary] per sample
-          val all = ss.map { case (w, cn, cp, cd, cm) =>
-            f"[$w%.1f,$cn%.2f,$cp%.2f,$cd%.2f,$cm%.3f]" }
+          //  worst in-run probe, memory canary, latency canary] per sample
+          val all = ss.map { case (w, cn, cp, cd, cm, cl) =>
+            f"[$w%.1f,$cn%.2f,$cp%.2f,$cd%.2f,$cm%.3f,$cl%.3f]" }
             .mkString("[", ",", "]")
-          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_par_during_mem":$all}"""
+          f""""local_$c":{"sec":$sec%.1f,"docs_per_sec":$tput%.1f,"samples":${ss.length},"wall_canary_par_during_mem_lat":$all}"""
       }.mkString(",")
       val erBench =
         f""""er_bench":{"docs":$benchDocs,"pinned":true,$scalingJson""" +

@@ -130,6 +130,43 @@ object ScalingSuite {
     d(1)
   }
 
+  /** Pointer-chase LATENCY canary: walk a Sattolo single-cycle permutation
+    * over a 64 MB int array (beyond LLC), 4M dependent hops per draw
+    * (~0.3-0.5 s uncontended). Third contention axis: the ALU canary sees
+    * per-cycle CPU theft, the streaming canary sees DRAM-bandwidth theft,
+    * but NEITHER sees LLC/row-buffer pressure — prefetchers hide it from
+    * sequential streams while dependent random loads eat the full latency,
+    * exactly like the hash-probe stages that dominate this job (observed:
+    * a run whose 2-core walls sat 35% over their clean floor with every
+    * ALU and stream canary flat published an impossible eff > 1). */
+  private val chaseArr: Array[Int] = {
+    val n = 16 << 20 // 16M ints = 64 MB
+    val a = Array.tabulate(n)(i => i)
+    var seed = 0x9e3779b9
+    var i = n - 1
+    while (i > 0) { // Sattolo: j strictly below i → one full cycle
+      seed = seed * 1103515245 + 12345
+      val j = math.floorMod(seed, i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+  private def canaryLatSec(): Double = {
+    val t0 = System.nanoTime()
+    var p = 0
+    var i = 0
+    while (i < (4 << 20)) { p = chaseArr(p); i += 1 }
+    if (p == -1) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** Latency bracket = median of 3 draws (same rationale as memBracketSec). */
+  private def latBracketSec(): Double = {
+    val d = Array(canaryLatSec(), canaryLatSec(), canaryLatSec())
+    java.util.Arrays.sort(d)
+    d(1)
+  }
+
   /** Start the probe JVM on `cpu`; returns (process, max-seen getter). */
   private def startWeatherProbe(cpu: Int): (Process, () => Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -293,6 +330,7 @@ object ScalingSuite {
         // pre AND post canaries both read clean)
         val canaryPre = canarySec()
         val canaryMemPre = memBracketSec()
+        val canaryLatPre = latBracketSec()
         // in-run probe on the first CPU past the job's window (host
         // throttling is VM-wide, so an outside-mask observer sees it
         // without perturbing the pinned job); absent when the job owns
@@ -331,6 +369,8 @@ object ScalingSuite {
         probe.foreach(_._1.destroyForcibly())
         val canaryPost = canarySec()
         val canaryMemPost = memBracketSec()
+        val canaryLatPost = latBracketSec()
+        val canaryLat = math.min(canaryLatPre, canaryLatPost)
         val canary = math.max(canaryPre, canaryPost)
         // MIN of the two bracket medians: sustained DRAM pressure spanning
         // the run elevates BOTH brackets, so the min is elevated exactly
@@ -341,7 +381,7 @@ object ScalingSuite {
         val canaryPar = canaryParSec(cores)
         spark.stop()
         lastWall(cores) = math.min(lastWall.getOrElse(cores, Double.MaxValue), best)
-        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_during=$canaryDuring%.2f canary_mem=$canaryMem%.3f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f cpu_window=$winStart")
+        println(f"SCALING $cores $best%.2f canary=$canary%.2f canary_par=$canaryPar%.2f canary_during=$canaryDuring%.2f canary_mem=$canaryMem%.3f canary_lat=$canaryLat%.3f canary_pre=$canaryPre%.2f canary_post=$canaryPost%.2f cpu_window=$winStart")
         Console.flush()
       }
     }
