@@ -79,7 +79,44 @@ object SparkEntry {
     (pred.drop("p"), gold.drop("p"))
   }
 
+  /** Deterministic retrieval fixture for the J6/J7 training joins: each
+    * document qid "retrieves" the next 8 doc_ids at rank 1..8; a candidate
+    * is a positive when its lang matches the query's (gold), otherwise a
+    * plain or hard negative by n_chars parity. pkey mirrors the reference's
+    * text-identity dedup (datasets.py:486-494) on a 24-char prefix. Every
+    * rule is arithmetic, so DuckDB replays it exactly. */
+  private def ctxFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val q = d.select(col("doc_id").as("qid"), col("lang").as("q_lang"))
+    val cands = d.select(col("doc_id").as("cand_id"), col("lang").as("c_lang"),
+      col("n_chars"), md5(substring(col("text"), 1, 24).cast("binary")).as("pkey"))
+    q.withColumn("rank", explode(sequence(lit(1), lit(8))))
+      .withColumn("cand_id", col("qid") + col("rank"))
+      .join(cands, Seq("cand_id"))
+      .withColumn("role",
+        when(col("q_lang") === col("c_lang"), "pos")
+          .when(col("n_chars") % 2 === 0, "neg").otherwise("hneg"))
+      .select(col("qid"), col("cand_id"), col("rank").cast("long").as("rank"),
+        col("role"), col("pkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------- training joins J6/J7
+    "j6_positive_join" -> ((s, dir) =>
+      train.TrainingJoins.assembleSamples(ctxFixture(s, dir), maxPerRole = 2)),
+
+    "j6_inbatch_labels" -> ((s, dir) =>
+      train.TrainingJoins.inBatchLabelStats(
+        train.TrainingJoins.assembleSamples(ctxFixture(s, dir), maxPerRole = 2),
+        questionsPerBatch = 50)),
+
+    "j7_hard_negatives" -> ((s, dir) => {
+      val ctx = ctxFixture(s, dir)
+      val preds = ctx.select(col("qid"), col("cand_id"), col("rank"))
+      val gold = ctx.filter(col("role") === "pos").select(col("qid"), col("cand_id"))
+      train.TrainingJoins.hardNegatives(preds, gold, maxNegatives = 3)
+    }),
+
     // ---------------------------------------------------------- ER pipeline
     // full blocking→scoring→clustering run, oracled: every planted clone
     // pair (exact dup ⇒ identical features ⇒ same block ⇒ score 1 ≥ τ ⇒
@@ -690,7 +727,54 @@ object SparkEntry {
       |    CASE WHEN rest = '' THEN k + 1 ELSE k END AS pos
       |  FROM w WHERE emit)""".stripMargin
 
+  /** Shared DuckDB replay of `ctxFixture` (J6/J7 inputs). */
+  private val ctxFixtureSql: String =
+    """ctx AS (
+      |  SELECT q.doc_id AS qid, q.doc_id + r.r AS cand_id, r.r AS rnk,
+      |    CASE WHEN d.lang = q.lang THEN 'pos'
+      |         WHEN d.n_chars % 2 = 0 THEN 'neg' ELSE 'hneg' END AS role,
+      |    md5(substring(d.text, 1, 24)) AS pkey
+      |  FROM documents q
+      |  CROSS JOIN (SELECT unnest(range(1, 9)) AS r) r
+      |  JOIN documents d ON d.doc_id = q.doc_id + r.r)""".stripMargin
+
+  /** Shared DuckDB replay of `TrainingJoins.assembleSamples` (J6). */
+  private val j6SamplesSql: String =
+    s"""WITH $ctxFixtureSql,
+      |dedup AS (SELECT qid, cand_id, role,
+      |    row_number() OVER (PARTITION BY qid, role, pkey ORDER BY cand_id) AS dup_rn
+      |  FROM ctx),
+      |capped AS (SELECT qid, cand_id, role,
+      |    row_number() OVER (PARTITION BY qid, role ORDER BY cand_id) AS cap_rn
+      |  FROM dedup WHERE dup_rn = 1),
+      |samples AS (SELECT qid, cand_id AS passage_id, role,
+      |    (row_number() OVER (PARTITION BY qid ORDER BY
+      |       CASE role WHEN 'pos' THEN 0 WHEN 'neg' THEN 1 ELSE 2 END, cand_id) - 1)::BIGINT AS pos,
+      |    (CASE WHEN role = 'pos' THEN 1 ELSE 0 END)::BIGINT AS label
+      |  FROM capped WHERE cap_rn <= 2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "j6_positive_join" ->
+      s"""$j6SamplesSql
+        |SELECT qid, passage_id, role, pos, label FROM samples""".stripMargin,
+
+    "j6_inbatch_labels" ->
+      s"""$j6SamplesSql,
+        |batched AS (SELECT qid, passage_id, label, qid // 50 AS batch_id FROM samples),
+        |pool AS (SELECT batch_id, count(DISTINCT passage_id) AS pool_size
+        |  FROM batched GROUP BY 1),
+        |perq AS (SELECT batch_id, qid, sum(label)::BIGINT AS n_pos
+        |  FROM batched GROUP BY 1, 2)
+        |SELECT p.batch_id, p.qid, pool.pool_size, p.n_pos
+        |FROM perq p JOIN pool USING (batch_id)""".stripMargin,
+
+    "j7_hard_negatives" ->
+      s"""WITH $ctxFixtureSql,
+        |ranked AS (SELECT qid, cand_id, rnk AS orig_rank,
+        |    (row_number() OVER (PARTITION BY qid ORDER BY rnk))::BIGINT AS hn_rank
+        |  FROM ctx WHERE role <> 'pos')
+        |SELECT qid, hn_rank, cand_id, orig_rank FROM ranked WHERE hn_rank <= 3""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
