@@ -678,6 +678,33 @@ object SparkEntry {
           lpad(col("b.doc_id").cast("string"), 9, "0").as("url_b"))
       cluster.ConnectedComponents.run(edges)
         .select(col("url").cast("bigint").as("id"), col("cluster_id").cast("bigint").as("comp"))
+    }),
+
+    // A6 incremental: yesterday's assignment + a delta edge batch must equal
+    // a from-scratch run over the union graph, while the star loop touches
+    // only delta-affected components (the daily-Common-Crawl-increment
+    // operation at 10^12 docs). Base = consecutive same-lang pairs with
+    // NEITHER endpoint divisible by 7; delta = the %7-boundary pairs that
+    // "arrived late" plus skip-edges (doc_id, doc_id+2) at doc_id%13==0
+    // that bridge previously separate chains.
+    "cc_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      def lp(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 9, "0")
+      val consec = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 && col("a.lang") === col("b.lang"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      val skip = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 2 && col("a.lang") === col("b.lang")
+            && col("a.doc_id") % 13 === 0)
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      val base = consec.filter(col("ia") % 7 =!= 0 && col("ib") % 7 =!= 0)
+        .select(lp(col("ia")).as("url_a"), lp(col("ib")).as("url_b"))
+      val delta = consec.filter(col("ia") % 7 === 0 || col("ib") % 7 === 0)
+        .unionByName(skip)
+        .select(lp(col("ia")).as("url_a"), lp(col("ib")).as("url_b"))
+      val assignment = cluster.ConnectedComponents.run(base)
+      cluster.ConnectedComponents.incremental(assignment, delta)
+        .select(col("url").cast("bigint").as("id"), col("cluster_id").cast("bigint").as("comp"))
     }))
 
   /** DuckDB-equivalent SQL per oracle-checked query (column names match). */
@@ -1364,6 +1391,27 @@ object SparkEntry {
       """WITH RECURSIVE e AS (
         |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
         |  JOIN documents b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+        |nodes AS (SELECT DISTINCT u AS n FROM (SELECT u FROM e UNION ALL SELECT v AS u FROM e)),
+        |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u)
+        |SELECT n AS id, min(m) AS comp FROM reach GROUP BY n""".stripMargin,
+
+    // the incremental result must equal from-scratch CC over the UNION
+    // graph (base ∪ delta = all consecutive same-lang pairs + the %13
+    // skip-edges), so the oracle is the full-graph closure — the base/delta
+    // split exists only on the Spark side, where `incremental` takes the
+    // base assignment and folds the delta in.
+    "cc_incremental" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+        |  UNION ALL
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 2 AND a.lang = b.lang
+        |   AND a.doc_id % 13 = 0),
         |nodes AS (SELECT DISTINCT u AS n FROM (SELECT u FROM e UNION ALL SELECT v AS u FROM e)),
         |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
         |reach(n, m) AS (

@@ -131,6 +131,47 @@ class ConnectedComponentsSpec extends SparkSpec {
       spark.conf.get("spark.sql.adaptive.enabled")) == before)
   }
 
+  test("incremental delta merge == from-scratch run over the union graph (property, seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val n = 60 + rnd.nextInt(80)
+      val all = Seq.fill(rnd.nextInt(3 * n))((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(e => e._1 != e._2)
+      // random split: delta includes edges to brand-new nodes (> n) so new
+      // documents forming new components are exercised every trial
+      val (base, deltaOld) = all.partition(_ => rnd.nextBoolean())
+      val delta = deltaOld ++ Seq.fill(5)((n + rnd.nextInt(10), rnd.nextInt(n + 10)))
+        .filter(e => e._1 != e._2)
+      def df(es: Seq[(Int, Int)]) =
+        es.map { case (a, b) => (f"n$a%04d", f"n$b%04d") }.toDF("url_a", "url_b")
+      val assignment = ConnectedComponents.run(df(base))
+      val got = ConnectedComponents.incremental(assignment, df(delta))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = ConnectedComponents.run(df(base ++ delta))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"trial $trial: incremental diverged from from-scratch")
+    }
+  }
+
+  test("incremental leaves untouched components byte-identical and merges touched ones") {
+    import spark.implicits._
+    // two chains; the delta bridges chain A to a new node and never
+    // mentions chain B
+    val chainA = (1 until 5).map(i => (f"a$i%02d", f"a${i + 1}%02d"))
+    val chainB = (1 until 5).map(i => (f"b$i%02d", f"b${i + 1}%02d"))
+    val assignment = ConnectedComponents.run((chainA ++ chainB).toDF("url_a", "url_b"))
+    val delta = Seq(("a03", "zz1"), ("a99", "a01")).toDF("url_a", "url_b")
+    val out = ConnectedComponents.incremental(assignment, delta)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // untouched: chain B labels survive verbatim
+    (1 to 5).foreach(i => assert(out(f"b$i%02d") == "b01"))
+    // touched: chain A ∪ {zz1, a99} collapses to the min id a01
+    (1 to 5).foreach(i => assert(out(f"a$i%02d") == "a01"))
+    assert(out("zz1") == "a01" && out("a99") == "a01")
+    assert(out.size == 12)
+  }
+
   test("single chain collapses to min") {
     import spark.implicits._
     val edges = (1 until 20).map(i => (f"x$i%03d", f"x${i + 1}%03d")).toDF("url_a", "url_b")
