@@ -514,6 +514,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // RefinedWeb-style cross-doc boilerplate line removal. The synthetic
+    // corpus is single-line, so the query constructs deterministic "lines"
+    // (2-token chunks of the whitespace tokenization — small shared vocab
+    // → real cross-doc duplicates) before applying the operator; real
+    // corpora pass split(text, '\n') instead.
+    "line_dedup" -> ((s, dir) => {
+      val chunked = t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("""transform(sequence(0, cast(ceil(size(split(text, ' ')) / 2.0) as int) - 1),
+               |  i -> array_join(slice(split(text, ' '), i * 2 + 1, 2), ' '))""".stripMargin)
+          .as("lines"))
+      dedup.Dedup.lineDedup(chunked, "doc_id", "lines", minDocs = 5)
+        .select(col("doc_id"),
+          array_join(col("lines"), "\n").as("text_clean"), col("lines_removed"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       text.TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"),
@@ -1041,6 +1057,21 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.w = b.w AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2)
         |SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b""".stripMargin,
+
+    // line_dedup: same deterministic 2-token chunking, then drop every
+    // chunk that occurs in >= 5 distinct docs; kept chunks rejoin in order.
+    "line_dedup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS p FROM documents),
+        |lines AS (SELECT doc_id, (p - 1) // 2 AS lp,
+        |    string_agg(w, ' ' ORDER BY p) AS line FROM toks GROUP BY doc_id, (p - 1) // 2),
+        |freq AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+        |flagged AS (SELECT doc_id, lp, line,
+        |    line IN (SELECT line FROM freq) AS boiler FROM lines)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY lp), '') AS text_clean,
+        |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS lines_removed
+        |FROM flagged GROUP BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),

@@ -366,4 +366,55 @@ object Dedup {
     sizes.groupBy(branch.as("branch"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("n")).as("n_rows"), max(col("n")).as("max_block"))
   }
+
+  // ------------------------------------------------ cross-doc line dedup
+  /**
+   * Cross-document boilerplate line removal (the RefinedWeb/CCNet line-dedup
+   * rule): a line that occurs in ≥ `minDocs` DISTINCT documents is
+   * boilerplate (nav bars, cookie banners, footers) and is dropped from
+   * every document; surviving lines keep their original order. The
+   * reference engine has no sub-document dedup — this is part of the
+   * training-data extension family (SURVEY.md §2 extensions), sitting
+   * between F6 exact whole-doc dedup and the near-dup tiers.
+   *
+   * Input is an exploded-ready `ARRAY<STRING>` lines column (callers split
+   * on '\n' — or any segmentation — upstream, keeping this operator
+   * separator-agnostic). Output: one row per input doc,
+   * `(idCol, linesCol: kept lines in order, lines_removed: BIGINT)`.
+   *
+   * Scale shape (10^12 docs × ~30 lines):
+   *  - ONE posexplode; the document-frequency aggregation shuffles
+   *    (xxhash64(line), id) thin pairs — the 8-byte line key, never the
+   *    line text (64-bit birthday math: ~10^10 distinct lines give a
+   *    ~3·10^-3 chance of ANY cross-line collision corpus-wide, and a
+   *    collision only mislabels one line's df) — as two map-side-combinable
+   *    hash aggregates (distinct (h, id), then count per h);
+   *  - the boilerplate set (df ≥ minDocs) is joined back to the exploded
+   *    lines: Catalyst broadcasts it when it fits (the typical case —
+   *    boilerplate vocabularies are tiny relative to the corpus) and
+   *    degrades to a shuffle join when a pathological corpus makes it big;
+   *  - reassembly is one hash aggregate per doc (collect_list of
+   *    (pos, line) structs, sorted in-row — no window, no second explode).
+   */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                linesCol: String = "lines", minDocs: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"), posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val boiler = lines.select(col("h"), col("id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("h"), "left")
+      .withColumn("boiler", coalesce(col("boiler"), lit(false)))
+      .groupBy(col("id"))
+      .agg(
+        // collect_list skips the when()'s null branch, so only kept lines
+        // enter; array_sort on (pos, line) structs restores document order
+        transform(
+          array_sort(collect_list(when(!col("boiler"), struct(col("pos"), col("line"))))),
+          _.getField("line")).as(linesCol),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("lines_removed"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -198,4 +198,39 @@ class DedupSpec extends SparkSpec {
       assert(hit, s"missing dup pair $i")
     }
   }
+
+  test("lineDedup drops cross-doc boilerplate lines, keeps order, counts removals") {
+    import spark.implicits._
+    // "cookie banner" appears in all 4 docs, "footer" in 3 of 4; with
+    // minDocs=3 both are boilerplate. Repeats WITHIN one doc (doc 3) count
+    // that doc once toward df (distinct-doc semantics).
+    val docs = Seq(
+      (0L, Seq("cookie banner", "alpha", "footer", "beta")),
+      (1L, Seq("gamma", "cookie banner", "footer")),
+      (2L, Seq("cookie banner", "delta")),
+      (3L, Seq("footer", "footer", "cookie banner", "epsilon", "epsilon"))
+    ).toDF("doc_id", "lines")
+    val out = Dedup.lineDedup(docs, "doc_id", "lines", minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(out(0L) == (Seq("alpha", "beta"), 2L))
+    assert(out(1L) == (Seq("gamma"), 2L))
+    assert(out(2L) == (Seq("delta"), 1L))
+    // doc 3: both footer copies removed, in-doc "epsilon" repeat KEPT
+    // (df = 1 doc < 3) and order preserved
+    assert(out(3L) == (Seq("epsilon", "epsilon"), 3L))
+
+    // minDocs above every df → identity (and lines_removed all zero)
+    val id = Dedup.lineDedup(docs, "doc_id", "lines", minDocs = 10)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(id(3L) == (Seq("footer", "footer", "cookie banner", "epsilon", "epsilon"), 0L))
+    assert(id.values.forall(_._2 == 0L))
+
+    // a doc that is ALL boilerplate empties but stays present
+    val allBoiler = Seq(
+      (0L, Seq("x")), (1L, Seq("x")), (2L, Seq("x"))).toDF("doc_id", "lines")
+    val e = Dedup.lineDedup(allBoiler, "doc_id", "lines", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(e.size == 3 && e.values.forall(_ == (Seq.empty[String], 1L)))
+  }
 }
