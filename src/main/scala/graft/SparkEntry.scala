@@ -538,6 +538,14 @@ object SparkEntry {
           round(col("stopword_ratio"), 4).as("stopword_ratio"))
     }),
 
+    // Gopher repetition rules (word-level subset): duplicate/top token and
+    // word-2-gram fractions — pure per-row expressions, scan-speed filters.
+    "text_repetition" -> ((s, dir) => {
+      text.TextAnalysis.repetitionScores(t(s, dir, "documents"))
+        .select(col("doc_id"), col("dup_token_frac"), col("top_token_frac"),
+          col("dup_bigram_frac"), col("top_bigram_frac"))
+    }),
+
     "text_langid" -> ((s, dir) => {
       text.TextAnalysis.langId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_guess"), col("lang_hits"))
@@ -1072,6 +1080,22 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY lp), '') AS text_clean,
         |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT) AS lines_removed
         |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+        |    unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS p FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        |tstat AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM wc GROUP BY doc_id),
+        |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |gstat AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM gc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  1.0 - t.d / t.n AS dup_token_frac,
+        |  t.m / t.n AS top_token_frac,
+        |  coalesce(1.0 - g.d / g.n, 0.0) AS dup_bigram_frac,
+        |  coalesce(g.m / g.n, 0.0) AS top_bigram_frac
+        |FROM tstat t LEFT JOIN gstat g ON g.doc_id = t.doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),

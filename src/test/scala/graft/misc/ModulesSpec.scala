@@ -104,6 +104,22 @@ class ModulesSpec extends SparkSpec {
     assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("repetition scores match hand-computed Gopher fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),          // toks 4: dup=1-2/4, top=3/4; bigrams [a a, a a, a b]: dup=1-2/3, top=2/3
+      (2L, "x y z w"),          // all distinct: dup=0, top=1/4; bigrams distinct: dup=0, top=1/3
+      (3L, "solo")              // single token: bigram fracs defined as 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (
+        r.getAs[Double]("dup_token_frac"), r.getAs[Double]("top_token_frac"),
+        r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(out(1L) == ((1.0 - 2.0 / 4, 3.0 / 4, 1.0 - 2.0 / 3, 2.0 / 3)))
+    assert(out(2L) == ((0.0, 1.0 / 4, 0.0, 1.0 / 3)))
+    assert(out(3L) == ((0.0, 1.0, 0.0, 0.0)))
+  }
+
   // ------------------------------------------------------- JSONL source/sink
   test("JSONL round-trip (S1 scan / S4 sink parity)") {
     import spark.implicits._
