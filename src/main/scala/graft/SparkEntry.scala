@@ -514,6 +514,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // GPT-3-style benchmark decontamination: docs sharing any normalized
+    // 3-gram with the "eval set" (doc_id % 17 == 0) are dropped. n=3 keeps
+    // the oracle replay exact on the short synthetic docs (standard is 13).
+    "decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      dedup.Dedup.decontaminate(d, d.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // RefinedWeb-style cross-doc boilerplate line removal. The synthetic
     // corpus is single-line, so the query constructs deterministic "lines"
     // (2-token chunks of the whitespace tokenization — small shared vocab
@@ -1065,6 +1075,21 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.w = b.w AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2)
         |SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b""".stripMargin,
+
+    // decontaminate: strict 3-grams only (every doc has ≥10 normalized
+    // tokens, so the kernel's short-doc truncation branch never fires).
+    "decontaminate" ->
+      """WITH norm AS (SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ts) AS w, unnest(generate_series(1, len(ts))) AS p FROM norm),
+        |grams AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |              JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+        |contaminated AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
 
     // line_dedup: same deterministic 2-token chunking, then drop every
     // chunk that occurs in >= 5 distinct docs; kept chunks rejoin in order.

@@ -367,6 +367,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_blocks"), sum(col("n")).as("n_rows"), max(col("n")).as("max_block"))
   }
 
+  // ------------------------------------------------ benchmark decontamination
+  /**
+   * Benchmark decontamination (the GPT-3 §C / The Pile rule): drop every
+   * corpus document that shares ANY normalized token n-gram with a
+   * benchmark/eval set, so training data cannot leak test answers. n = 13
+   * is the published standard for web corpora; tests use small n on tiny
+   * fixtures.
+   *
+   * Scale shape (10^12-doc corpus × ~10^6-gram benchmark): the benchmark
+   * side collapses to ONE row — a sorted distinct array of n-gram hashes —
+   * and broadcasts (same construction as `Blocking.dfStopSet`; eval suites
+   * are EXPECTED to be tiny next to the corpus, ~10^5-10^7 grams ≈ 1-80 MB
+   * of longs). The corpus side is then a pure scan filter:
+   * `arrays_overlap(doc_grams, bench_grams)` probes a hash set built once
+   * per task from the broadcast — NO explode of the corpus, NO shuffle, NO
+   * join of the big side; predicate and column pruning reach the parquet
+   * scan untouched. If a pathological benchmark outgrows the broadcast
+   * ceiling, fall back to the explode + distinct-contaminated-ids +
+   * left_anti join shape (one corpus explode, two thin shuffles) — not
+   * implemented here because it is strictly worse in the intended regime.
+   *
+   * Hash-domain note: overlap is tested on 64-bit n-gram hashes, not gram
+   * strings — a cross-gram collision (~10^-9 per benchmark gram pair at
+   * 10^7 grams) can only OVER-remove one extra document, never leak one.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 13, seed: Long = 42L): DataFrame = {
+    def grams(c: Column) = token_ngram_hashes(split(normalize_text(c), " "), n, seed)
+    val benchSet = benchmark
+      .select(explode(grams(col(textCol))).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("bench_grams")) // one row
+    corpus
+      .crossJoin(broadcast(benchSet)) // BroadcastNestedLoopJoin of a 1-row build side
+      .filter(!arrays_overlap(grams(col(textCol)), col("bench_grams")))
+      .drop("bench_grams")
+  }
+
   // ------------------------------------------------ cross-doc line dedup
   /**
    * Cross-document boilerplate line removal (the RefinedWeb/CCNet line-dedup

@@ -199,6 +199,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate removes exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),      // contains "beta gamma delta" → contaminated
+      (1L, "zeta eta theta iota kappa"),           // clean
+      (2L, "one two beta gamma delta three four"), // same 3-gram mid-doc → contaminated
+      (3L, "beta gamma mu delta nu xi omicron")    // shares only 1/2-grams → clean at n=3
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "prefix words beta gamma delta suffix words here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, benchmark, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    // empty benchmark removes nothing
+    val none = Dedup.decontaminate(corpus, benchmark.filter(col("doc_id") < 0), n = 3)
+      .count()
+    assert(none == 4L)
+  }
+
   test("lineDedup drops cross-doc boilerplate lines, keeps order, counts removals") {
     import spark.implicits._
     // "cookie banner" appears in all 4 docs, "footer" in 3 of 4; with
