@@ -514,6 +514,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // Deterministic importance sampling: per-row acceptance probability
+    // from a replayable quality proxy (length-based here), md5-keyed so
+    // the sample is identical under retries, repartitioning, and resume.
+    "weighted_sample" -> ((s, dir) => {
+      text.Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          least(lit(1.0), length(col("text")) / 400.0))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // GPT-3-style benchmark decontamination: docs sharing any normalized
     // 3-gram with the "eval set" (doc_id % 17 == 0) are dropped. n=3 keeps
     // the oracle replay exact on the short synthetic docs (standard is 13).
@@ -1075,6 +1084,11 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.w = b.w AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2)
         |SELECT id_a, id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
         |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b""".stripMargin,
+
+    "weighted_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR || 'graft-weighted'), 1, 8)) AS BIGINT)
+        |      < least(1.0, len(text) / 400.0) * 4294967296.0""".stripMargin,
 
     // decontaminate: strict 3-grams only (every doc has ≥10 normalized
     // tokens, so the kernel's short-doc truncation branch never fires).

@@ -46,6 +46,29 @@ object Sampling {
                           salt: String = "graft"): DataFrame =
     df.filter(unitHex(col(keyCol), salt) < lit(thresholdHex(rate)))
 
+  /** Integer variate in [0, 2^32) for a key column — the numeric twin of
+    * [[unitHex]] for PER-ROW thresholds (a hex threshold can only be
+    * precomputed for a constant rate). */
+  def unitLong(key: Column, salt: String): Column =
+    conv(unitHex(key, salt), 16, 10).cast("long")
+
+  /**
+   * Deterministic weighted (importance) sample: keep a row iff its unit
+   * variate < weight · 2^32, where `weight` is a per-row acceptance
+   * probability (e.g. a quality score — upweight clean prose, downweight
+   * boilerplate), clamped to [0,1]. Same guarantees as
+   * [[deterministicSample]]: pure per-row decision, retry/partition
+   * invariant, zero shuffle; and monotone — lowering a row's weight can
+   * only remove it from the sample, never admit it (same key ⇒ same
+   * variate). Exact cross-engine replay:
+   * `CAST(concat('0x', substr(md5(key || salt), 1, 8)) AS BIGINT)
+   *    < weight * 4294967296.0`.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     salt: String = "graft-weighted"): DataFrame =
+    df.filter(unitLong(col(keyCol), salt).cast("double") <
+      greatest(lit(0.0), least(lit(1.0), weight)) * 4294967296.0)
+
   /**
    * Leakage-safe split column: every row of a group gets the same split
    * label, chosen by the group key's variate against cumulative weight

@@ -39,4 +39,23 @@ class SamplingSpec extends SparkSpec {
     assert(byueSplit("train") > byueSplit("val") && byueSplit("train") > byueSplit("test"))
     assert(math.abs(byueSplit("train") / 5000.0 - 0.8) < 0.06)
   }
+
+  test("weightedSample: clamped, monotone in weight, rate tracks weight, repartition-invariant") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, (i % 100) / 100.0)).toDF("id", "w")
+    def kept(weight: org.apache.spark.sql.Column): Set[Long] =
+      Sampling.weightedSample(df, "id", weight).select("id")
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(lit(0.0)).isEmpty && kept(lit(-3.0)).isEmpty)
+    assert(kept(lit(1.0)).size == 4000 && kept(lit(7.0)).size == 4000)
+    // monotone: halving every weight can only shrink the sample
+    val full = kept($"w"); val half = kept($"w" * 0.5)
+    assert(half.subsetOf(full) && half.size < full.size)
+    // acceptance rate ≈ mean weight (0.495 here)
+    assert(math.abs(full.size / 4000.0 - 0.495) < 0.03)
+    // pure per-row decision: repartitioning changes nothing
+    val reKept = Sampling.weightedSample(df.repartition(17), "id", $"w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(reKept == full)
+  }
 }
