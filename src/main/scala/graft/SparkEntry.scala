@@ -523,6 +523,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // PII redaction (Dolma/ROOTS-style scrub): the synthetic corpus is
+    // PII-free, so plant deterministic emails/IPs/phones from doc_id (mod
+    // lanes exercise every presence combination incl. none), then scrub.
+    // Counts are taken on the original text; all per-row codegen'd regex.
+    "pii_redact" -> ((s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val planted = t(s, dir, "documents").withColumn("pii_text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), idS, lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call "), ((col("doc_id") % 800) + 100).cast("string"),
+            lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      text.Redact.redact(planted, "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("text_redacted"))
+    }),
+
     // GPT-3-style benchmark decontamination: docs sharing any normalized
     // 3-gram with the "eval set" (doc_id % 17 == 0) are dropped. n=3 keeps
     // the oracle replay exact on the short synthetic docs (standard is 13).
@@ -1089,6 +1111,23 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR || 'graft-weighted'), 1, 8)) AS BIGINT)
         |      < least(1.0, len(text) / 400.0) * 4294967296.0""".stripMargin,
+
+    "pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call ' || ((doc_id % 800) + 100) || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+        |    AS t FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+        |FROM planted""".stripMargin,
 
     // decontaminate: strict 3-grams only (every doc has ≥10 normalized
     // tokens, so the kernel's short-doc truncation branch never fires).
