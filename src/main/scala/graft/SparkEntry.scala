@@ -16,6 +16,28 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministically-messy urls planted from doc_id for the url queries:
+    * mod lanes cover scheme/host case, www + non-www subdomains, default
+    * ports, ccSLD tlds (co.uk), empty paths, tracking-param mixes, and
+    * fragments — every rule in [[text.Urls.canonicalize]] fires on some lane.
+    * Mirrored verbatim by the oracle SQL's `planted` CTE. */
+  private def plantedUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    docs.withColumn("url", concat(
+      when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(id % 3 === 0, "WWW.").when(id % 3 === 1, "blog.").otherwise(""),
+      lit("Site"), s(id % 50), lit("."),
+      when(id % 4 === 0, "com").when(id % 4 === 1, "co.uk")
+        .when(id % 4 === 2, "org").otherwise("net"),
+      when(id % 5 === 0, ":443").otherwise(""),
+      when(id % 7 === 0, "").otherwise(concat(lit("/p/"), s(id))),
+      when(id % 6 === 0, "?utm_source=feed")
+        .when(id % 6 === 1, concat(lit("?id="), s(id % 9), lit("&utm_medium=a")))
+        .when(id % 6 === 2, "?utm_a=1&utm_b=2").otherwise(""),
+      when(id % 11 === 0, "#sec").otherwise("")))
+  }
+
   /** documents ∪ exact clones at doc_id + 1,000,000 — the planted-duplicate
     * corpus behind the oracled dedup/ER queries: an exact dup is found with
     * probability 1 by every near-dup operator here (identical features ⇒
@@ -545,6 +567,24 @@ object SparkEntry {
           col("text_redacted"))
     }),
 
+    // URL canonicalization: the corpus contract keys documents by url
+    // (BASELINE.json input_hint); plant deterministically-messy urls (case,
+    // www, default port, tracking params, fragments, empty paths, ccSLDs)
+    // and derive the three web-scale identities: canonical url, host,
+    // registrable domain. Pure codegen'd regexp/array expressions.
+    "url_canonicalize" -> ((s, dir) => {
+      text.Urls.urlKeys(plantedUrls(t(s, dir, "documents")))
+        .select(col("doc_id"), col("url_canon"), col("host"), col("domain"))
+    }),
+
+    // Head-domain skew profile over the planted urls: docs + distinct hosts
+    // + corpus share per registrable domain (what blocking salts against).
+    "domain_skew" -> ((s, dir) => {
+      text.Urls.domainStats(plantedUrls(t(s, dir, "documents")))
+        .select(col("domain"), col("n_docs"), col("n_hosts"),
+          round(col("share"), 6).as("share"))
+    }),
+
     // GPT-3-style benchmark decontamination: docs sharing any normalized
     // 3-gram with the "eval set" (doc_id % 17 == 0) are dropped. n=3 keeps
     // the oracle replay exact on the short synthetic docs (standard is 13).
@@ -845,6 +885,20 @@ object SparkEntry {
       |    (CASE WHEN role = 'pos' THEN 1 ELSE 0 END)::BIGINT AS label
       |  FROM capped WHERE cap_rn <= 2)""".stripMargin
 
+  /** Mirrors [[plantedUrls]] — keep the two in lockstep. */
+  private val URL_PLANT_CTE =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'blog.' ELSE '' END)
+      |    || 'Site' || (doc_id % 50) || '.'
+      |    || (CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'co.uk' WHEN doc_id % 4 = 2 THEN 'org' ELSE 'net' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/p/' || doc_id END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed' WHEN doc_id % 6 = 1 THEN '?id=' || (doc_id % 9) || '&utm_medium=a' WHEN doc_id % 6 = 2 THEN '?utm_a=1&utm_b=2' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "j6_positive_join" ->
       s"""$j6SamplesSql
@@ -1111,6 +1165,48 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR || 'graft-weighted'), 1, 8)) AS BIGINT)
         |      < least(1.0, len(text) / 400.0) * 4294967296.0""".stripMargin,
+
+    "url_canonicalize" ->
+      (URL_PLANT_CTE + // NOTE: stripMargin binds to the literal only — the
+                       // CTE is pre-stripped and contains literal `||`
+      """, parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^/@]*@', ''), ':(80|443)$', '') AS hp,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+        |    regexp_replace(regexp_replace(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '(^|&)(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*', '', 'g'), '^&', '') AS cq
+        |  FROM planted),
+        |keys AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || regexp_replace(hp, '^www\.', '')
+        |      || (CASE WHEN pth = '' THEN '/' ELSE pth END)
+        |      || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon,
+        |    regexp_replace(hp, ':\d+$', '') AS host
+        |  FROM parts),
+        |labs AS (SELECT *, str_split(host, '.') AS l,
+        |    CASE WHEN len(str_split(host, '.')) >= 3
+        |          AND str_split(host, '.')[-2] IN ('co','com','net','org','gov','ac','edu')
+        |          AND length(str_split(host, '.')[-1]) = 2 THEN 3 ELSE 2 END AS k
+        |  FROM keys)
+        |SELECT doc_id, url_canon, host,
+        |  CASE WHEN len(l) <= k THEN host ELSE array_to_string(l[len(l)-k+1:], '.') END AS domain
+        |FROM labs""".stripMargin),
+
+    "domain_skew" ->
+      (URL_PLANT_CTE +
+      """, keys AS (
+        |  SELECT regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^/@]*@', ''), ':\d+$', '') AS host
+        |  FROM planted),
+        |labs AS (SELECT host, str_split(host, '.') AS l,
+        |    CASE WHEN len(str_split(host, '.')) >= 3
+        |          AND str_split(host, '.')[-2] IN ('co','com','net','org','gov','ac','edu')
+        |          AND length(str_split(host, '.')[-1]) = 2 THEN 3 ELSE 2 END AS k
+        |  FROM keys),
+        |dom AS (SELECT CASE WHEN len(l) <= k THEN host ELSE array_to_string(l[len(l)-k+1:], '.') END AS domain, host FROM labs),
+        |agg AS (SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts FROM dom GROUP BY domain)
+        |SELECT domain, n_docs, n_hosts,
+        |  round(n_docs * 1.0 / (SELECT sum(n_docs) FROM agg), 6) AS share
+        |FROM agg""".stripMargin),
 
     "pii_redact" ->
       """WITH planted AS (
