@@ -585,6 +585,25 @@ object SparkEntry {
           round(col("share"), 6).as("share"))
     }),
 
+    // Revisit dedup: keep the LATEST fetch per canonical url — the first
+    // stage of a Common-Crawl pipeline (pages recur across crawl
+    // snapshots). Revisits are planted as fragment-perturbed copies (same
+    // canonical identity by construction) of every doc_id % 3 == 0 url;
+    // warc_ts is a bijective mix of doc_id mod the prime 999983, so the
+    // per-group winner is unique and the arg_max replays exactly in DuckDB.
+    "revisit_latest" -> ((s, dir) => {
+      val base = plantedUrls(t(s, dir, "documents"))
+        .select(col("doc_id"), col("url"))
+      val revisits = base.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("url"), lit("#r2")).as("url"))
+      val docs = base.unionByName(revisits).withColumn("warc_ts",
+        timestamp_seconds(lit(1704067200L) + (col("doc_id") * 48271) % 999983))
+      text.Urls.latestRevision(docs)
+        .select(col("url_canon"), col("doc_id").as("keep_id"),
+          col("warc_ts").cast("long").as("latest_ts"), col("n_revisions"))
+    }),
+
     // GPT-3-style benchmark decontamination: docs sharing any normalized
     // 3-gram with the "eval set" (doc_id % 17 == 0) are dropped. n=3 keeps
     // the oracle replay exact on the short synthetic docs (standard is 13).
@@ -1207,6 +1226,29 @@ object SparkEntry {
         |SELECT domain, n_docs, n_hosts,
         |  round(n_docs * 1.0 / (SELECT sum(n_docs) FROM agg), 6) AS share
         |FROM agg""".stripMargin),
+
+    "revisit_latest" ->
+      (URL_PLANT_CTE +
+      """, all_rows AS (
+        |  SELECT doc_id, url FROM planted
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, url || '#r2' FROM planted WHERE doc_id % 3 = 0),
+        |parts AS (
+        |  SELECT doc_id, 1704067200 + (doc_id * 48271) % 999983 AS ts,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^/@]*@', ''), ':(80|443)$', '') AS hp,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+        |    regexp_replace(regexp_replace(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), '(^|&)(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*', '', 'g'), '^&', '') AS cq
+        |  FROM all_rows),
+        |canon AS (
+        |  SELECT doc_id, ts,
+        |    scheme || '://' || regexp_replace(hp, '^www\.', '')
+        |      || (CASE WHEN pth = '' THEN '/' ELSE pth END)
+        |      || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url_canon
+        |  FROM parts)
+        |SELECT url_canon, arg_max(doc_id, ts) AS keep_id,
+        |  max(ts) AS latest_ts, count(*) AS n_revisions
+        |FROM canon GROUP BY url_canon""".stripMargin),
 
     "pii_redact" ->
       """WITH planted AS (

@@ -81,6 +81,35 @@ object Urls {
   }
 
   /**
+   * Revisit dedup: keep the LATEST fetch per canonical url — the first
+   * stage of any Common-Crawl-style pipeline (the same page is re-crawled
+   * across snapshots; the corpus contract keys rows by `(url, warc_ts)`).
+   * Output = the winning row's full payload plus `url_canon` and
+   * `n_revisions` (how many fetches collapsed into it).
+   *
+   * Scale shape: ONE shuffle on the canonical url with a map-side-combined
+   * `max_by(struct(payload), struct(ts, url))` — each partition keeps a
+   * single candidate row per key before the exchange, so revisit-heavy
+   * corpora (the common case: head pages re-crawled per snapshot) shrink
+   * BEFORE they shuffle. Deliberately not a `row_number() over (partition
+   * by url_canon order by ts desc)` window: WindowExec buffers whole
+   * groups per task and combines nothing map-side (BASELINE.md lesson 5).
+   * Ties on `warc_ts` break on the raw url, so the result is deterministic
+   * under any partitioning.
+   */
+  def latestRevision(df: DataFrame, urlCol: String = "url",
+                     tsCol: String = "warc_ts"): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.withColumn("url_canon", canonicalize(col(urlCol)))
+      .groupBy("url_canon")
+      .agg(
+        max_by(payload, struct(col(tsCol), col(urlCol))).as("_row"),
+        count(lit(1)).as("n_revisions"))
+      .select(col("url_canon") +:
+        df.columns.map(c => col(s"_row.$c").as(c)) :+ col("n_revisions"): _*)
+  }
+
+  /**
    * Head-domain skew profile: docs and distinct hosts per registrable
    * domain, plus each domain's corpus share. One partial-aggregable
    * groupBy; the share join is against the tiny aggregate, not the corpus.

@@ -45,4 +45,44 @@ class UrlsSpec extends SparkSpec {
     assert(stats.forall(_.getAs[Long]("n_hosts") == 7))
     assert(stats.map(_.getAs[Long]("n_docs")).sum == 1200)
   }
+
+  test("latestRevision: latest warc_ts wins per canonical url, no window in the plan") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // three fetches of one page under canonically-equal urls + one other page
+    val docs = Seq(
+      (1L, "HTTPS://WWW.News.COM:443/a?utm_source=x", ts(100)),
+      (2L, "https://news.com/a#frag", ts(300)),
+      (3L, "https://news.com/a", ts(200)),
+      (4L, "https://other.org/b", ts(50))
+    ).toDF("doc_id", "url", "warc_ts")
+    val out = Urls.latestRevision(docs)
+    val rows = out.collect().map(r => r.getAs[String]("url_canon") ->
+      ((r.getAs[Long]("doc_id"), r.getAs[Long]("n_revisions")))).toMap
+    assert(rows.size == 2)
+    assert(rows("https://news.com/a") == ((2L, 3L)))      // max ts = 300
+    assert(rows("https://other.org/b") == ((4L, 1L)))
+    // payload of the WINNING row rides through intact
+    val win = out.filter($"url_canon" === "https://news.com/a").collect().head
+    assert(win.getAs[Timestamp]("warc_ts") == ts(300))
+    // partial-aggregable shape: no WindowExec anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("latestRevision: warc_ts ties break on the raw url, partition-invariant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = new Timestamp(1000L)
+    val docs = Seq(
+      (1L, "https://tie.com/p#a", t0),
+      (2L, "https://tie.com/p#b", t0),
+      (3L, "https://tie.com/p", t0)
+    ).toDF("doc_id", "url", "warc_ts")
+    val a = Urls.latestRevision(docs.repartition(1)).collect().head
+    val b = Urls.latestRevision(docs.repartition(7)).collect().head
+    // max raw url = "https://tie.com/p#b" → doc 2, under any partitioning
+    assert(a.getAs[Long]("doc_id") == 2L && b.getAs[Long]("doc_id") == 2L)
+    assert(a.getAs[Long]("n_revisions") == 3L)
+  }
 }
