@@ -585,6 +585,15 @@ object SparkEntry {
           round(col("share"), 6).as("share"))
     }),
 
+    // Per-domain quota: cap each registrable domain at 2 docs, keeping the
+    // highest-n_chars pages (tiebreak doc_id). Catalyst's WindowGroupLimit
+    // makes the rank window map-side-bounded (see Sampling.domainQuota).
+    "domain_quota" -> ((s, dir) => {
+      text.Sampling.domainQuota(plantedUrls(t(s, dir, "documents")),
+          "doc_id", col("n_chars"), k = 2)
+        .select(col("domain"), col("quota_rank"), col("doc_id"), col("n_chars"))
+    }),
+
     // Revisit dedup: keep the LATEST fetch per canonical url — the first
     // stage of a Common-Crawl pipeline (pages recur across crawl
     // snapshots). Revisits are planted as fragment-perturbed copies (same
@@ -1226,6 +1235,26 @@ object SparkEntry {
         |SELECT domain, n_docs, n_hosts,
         |  round(n_docs * 1.0 / (SELECT sum(n_docs) FROM agg), 6) AS share
         |FROM agg""".stripMargin),
+
+    "domain_quota" ->
+      (URL_PLANT_CTE +
+      """, keys AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^[^/@]*@', ''), ':\d+$', '') AS host
+        |  FROM planted),
+        |labs AS (SELECT doc_id, host, str_split(host, '.') AS l,
+        |    CASE WHEN len(str_split(host, '.')) >= 3
+        |          AND str_split(host, '.')[-2] IN ('co','com','net','org','gov','ac','edu')
+        |          AND length(str_split(host, '.')[-1]) = 2 THEN 3 ELSE 2 END AS k
+        |  FROM keys),
+        |dom AS (SELECT doc_id,
+        |    CASE WHEN len(l) <= k THEN host ELSE array_to_string(l[len(l)-k+1:], '.') END AS domain
+        |  FROM labs),
+        |ranked AS (
+        |  SELECT d.domain, dd.doc_id, dd.n_chars,
+        |    row_number() OVER (PARTITION BY d.domain ORDER BY dd.n_chars DESC, dd.doc_id ASC) AS quota_rank
+        |  FROM dom d JOIN documents dd USING (doc_id))
+        |SELECT domain, quota_rank, doc_id, n_chars FROM ranked
+        |WHERE quota_rank <= 2""".stripMargin),
 
     "revisit_latest" ->
       (URL_PLANT_CTE +

@@ -70,6 +70,39 @@ object Sampling {
       greatest(lit(0.0), least(lit(1.0), weight)) * 4294967296.0)
 
   /**
+   * Per-domain quota (domain balancing): keep at most `k` documents per
+   * registrable domain, preferring the highest `score`, ties broken by
+   * ascending `keyCol` — a total order when the key is unique, so the
+   * kept set is unique and partition-invariant. This is the sampling-stage
+   * mirror of the head-domain skew the blocking layer salts against
+   * ([[Urls.domainStats]]): uncapped, the head domains dominate a web
+   * corpus (CCNet/RefinedWeb both bound per-domain contribution).
+   *
+   * Scale shape: deliberately the DECLARATIVE `row_number() <= k` window —
+   * Catalyst's WindowGroupLimit rewrite (Spark ≥ 3.5) turns a rank-limit
+   * filter into a bounded per-group top-k BOTH map-side (Partial, before
+   * the exchange: each input split ships ≤ k rows per domain) and
+   * reduce-side (Final, before the Window: the rank operator never
+   * buffers more than k rows per group). A head domain with 10^8 pages
+   * costs each task O(k) memory and the shuffle O(k · splits) rows —
+   * unlike the unbounded-window shapes BASELINE.md lesson 5 bans
+   * (whole-group `count(*)`/`lead()` windows, which have no limit to push
+   * and DO buffer entire groups). PlanQualitySpec pins the Partial
+   * WindowGroupLimit below the Exchange so a regression in the rewrite
+   * (e.g. a non-rank-like reformulation) fails the suite.
+   */
+  def domainQuota(df: DataFrame, keyCol: String, score: Column, k: Int,
+                  urlCol: String = "url"): DataFrame = {
+    require(k >= 1, s"quota must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(score.desc, col(keyCol).asc)
+    df.withColumn("domain", Urls.registrableDomain(Urls.host(col(urlCol))))
+      .withColumn("quota_rank", row_number().over(w))
+      .filter(col("quota_rank") <= k)
+  }
+
+  /**
    * Leakage-safe split column: every row of a group gets the same split
    * label, chosen by the group key's variate against cumulative weight
    * thresholds. Weights need not sum to 1 (normalized internally).

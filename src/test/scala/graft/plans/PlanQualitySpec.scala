@@ -172,4 +172,19 @@ class PlanQualitySpec extends SparkSpec {
       "attachFeatures should broadcast the small feature side")
     pages.unpersist()
   }
+
+  test("domainQuota rank-limit compiles to WindowGroupLimit (map-side Partial + Final)") {
+    import spark.implicits._
+    val d = (0 until 200).map(i => (i.toLong, s"https://site${i % 5}.org/p/$i"))
+      .toDF("doc_id", "url")
+    val plan = formatted(
+      graft.text.Sampling.domainQuota(d, "doc_id", col("doc_id") % 9, k = 2))
+    // Partial = bounded top-k per group BEFORE the exchange (each split ships
+    // ≤ k rows per domain); Final = the reduce side never buffers a whole
+    // group. If a refactor breaks rank-like detection, Partial disappears.
+    assert(plan.contains("row_number(), 2, Partial"),
+      s"map-side WindowGroupLimit missing:\n$plan")
+    assert(plan.contains("row_number(), 2, Final"),
+      s"reduce-side WindowGroupLimit missing:\n$plan")
+  }
 }

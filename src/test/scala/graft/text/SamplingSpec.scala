@@ -24,6 +24,32 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == manual)
   }
 
+  test("domainQuota: exactly top-k per domain by (score desc, key asc), repartition-invariant") {
+    import spark.implicits._
+    // 10 domains × 40 docs, scores with ties so the key tiebreak matters
+    val d = (0 until 400).map { i =>
+      (i.toLong, s"https://www.site${i % 10}.com/p/$i", (i % 7).toLong)
+    }.toDF("doc_id", "url", "sc")
+    val rows = Sampling.domainQuota(d, "doc_id", col("sc"), k = 3)
+      .select("domain", "quota_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.groupBy(_._1).values.forall(_.length == 3), "k rows per domain")
+    // equals the naive per-domain sort-take
+    val naive = d.withColumn("domain", Urls.registrableDomain(Urls.host($"url")))
+      .select("domain", "doc_id", "sc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (dom, rs) =>
+        dom -> rs.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSeq }
+    val got = rows.groupBy(_._1).map { case (dom, rs) =>
+      dom -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got == naive, "window formulation must equal naive top-k")
+    // unique total order ⇒ identical kept set under any partitioning
+    val re = Sampling.domainQuota(d.repartition(13), "doc_id", col("sc"), k = 3)
+      .select("domain", "quota_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(re == rows.toSet)
+  }
+
   test("groupSplit: whole group in one split, weights respected") {
     import spark.implicits._
     val d = spark.range(0, 5000).select(
