@@ -623,6 +623,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Exact-substring dedup (Lee et al. 2022 analog): maximal token spans
+    // covered by 3-token windows repeated across >= 2 distinct docs. A
+    // shared boilerplate suffix is planted on every doc_id % 4 == 0 doc so
+    // long cross-doc spans exist deterministically; natural short repeats
+    // in the synthetic vocabulary surface too and replay identically.
+    "dup_spans" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0, concat(col("text"),
+          lit(" all rights reserved contact the site webmaster for details")))
+          .otherwise(col("text")))
+      dedup.Dedup.repeatedSpans(planted, "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"))
+    }),
+
     // RefinedWeb-style cross-doc boilerplate line removal. The synthetic
     // corpus is single-line, so the query constructs deterministic "lines"
     // (2-token chunks of the whitespace tokenization — small shared vocab
@@ -1310,6 +1324,28 @@ object SparkEntry {
         |contaminated AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    "dup_spans" ->
+      """WITH planted AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0 THEN ' all rights reserved contact the site webmaster for details' ELSE '' END AS text
+        |  FROM documents),
+        |norm AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+        |  FROM planted),
+        |toks AS (SELECT doc_id, unnest(ts) AS w, unnest(generate_series(1, len(ts))) AS p FROM norm),
+        |grams AS (SELECT a.doc_id, a.p - 1 AS pos, a.w || ' ' || b.w || ' ' || c.w AS g
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |              JOIN toks c ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+        |rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM rep)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+        |  FROM marked),
+        |grp AS (SELECT doc_id, pos, sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 3)::BIGINT AS span_end
+        |FROM grp GROUP BY doc_id, island""".stripMargin,
 
     // line_dedup: same deterministic 2-token chunking, then drop every
     // chunk that occurs in >= 5 distinct docs; kept chunks rejoin in order.

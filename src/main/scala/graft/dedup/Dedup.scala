@@ -455,4 +455,61 @@ object Dedup {
         sum(when(col("boiler"), 1L).otherwise(0L)).as("lines_removed"))
       .withColumnRenamed("id", idCol)
   }
+
+  // --------------------------------------------- cross-doc repeated spans
+  /**
+   * Cross-document repeated-span detection — the distributed analog of
+   * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499, whose suffix
+   * array is a single-node construction): every k-token window whose gram
+   * occurs in ≥ `minDocs` DISTINCT documents is "repeated", and overlapping
+   * or adjacent repeated windows within a doc merge into maximal token
+   * spans. Output: `(id, span_start, span_end)` — one row per maximal span,
+   * half-open token coordinates over the normalized whitespace tokenization
+   * (the P6 coordinate machinery maps them back to char offsets when the
+   * caller needs to cut raw text). Downstream policy — excise the spans or
+   * drop heavily-spanned docs — is the caller's.
+   *
+   * Scale shape (10^12 docs):
+   *  - grams travel as positional 8-byte hash-chain keys
+   *    ([[graft.functions.HashKernels.tokenNgramSeq]]) — only (hash, id,
+   *    pos) is ever exploded or shuffled, never gram text (same 64-bit
+   *    birthday math as [[lineDedup]]; a collision mislabels one window);
+   *  - the document-frequency pass is two map-side-combinable hash
+   *    aggregates (distinct (g, id), then count per g) — no window;
+   *  - the repeated-gram set joins back to the gram stream: Catalyst
+   *    broadcasts it when it fits, shuffle join otherwise;
+   *  - interval merging is gaps-and-islands over windows partitioned per
+   *    DOCUMENT — group size is bounded by a single doc's token count (a
+   *    per-doc kernel bound, NOT the unbounded block/domain group windows
+   *    BASELINE.md lesson 5 bans).
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 13,
+                    minDocs: Int = 2, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"window must be >= 1 token, got $k")
+    require(minDocs >= 2, s"a span repeated in < 2 docs is not cross-doc, got $minDocs")
+    val grams = docs.select(
+      col(idCol).as("id"),
+      posexplode(token_ngram_hash_seq(
+        split(normalize_text(col(textCol)), " "), k, seed)).as(Seq("pos", "g")))
+    val repeated = grams.select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"))
+    val marked = grams.join(repeated, "g").select(col("id"), col("pos"))
+    // gaps-and-islands: a window starts a new span iff it begins past the
+    // running max end of all earlier windows (pos == prev end ⇒ adjacent ⇒
+    // merge: the excised text is contiguous either way)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Long.MinValue, -1))
+    val newSpan = when(col("pos") > coalesce(prevEnd, lit(-1)), 1L).otherwise(0L)
+    marked
+      .withColumn("island", sum(newSpan).over(byDoc.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
 }

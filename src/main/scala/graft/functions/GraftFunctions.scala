@@ -37,6 +37,10 @@ object GraftFunctions {
   def token_ngram_hashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     col(TokenNgramHashes(expr(tokens), n, seed))
 
+  /** Positional (in-order, duplicates kept) twin of [[token_ngram_hashes]]. */
+  def token_ngram_hash_seq(tokens: Column, n: Int, seed: Long = 42L): Column =
+    col(TokenNgramHashSeq(expr(tokens), n, seed))
+
   def tf_filtered_hashes(tokens: Column, minTf: Int = 2, minKeep: Int = 8, seed: Long = 42L): Column =
     col(TfFilteredHashes(expr(tokens), minTf, minKeep, seed))
 
@@ -104,6 +108,8 @@ object GraftFunctions {
       es => CharShingleHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
     reg.createOrReplaceTempFunction("token_ngram_hashes",
       es => TokenNgramHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
+    reg.createOrReplaceTempFunction("token_ngram_hash_seq",
+      es => TokenNgramHashSeq(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L), "built-in")
     reg.createOrReplaceTempFunction("minhash_band_keys",

@@ -91,6 +91,33 @@ object HashKernels {
     new GenericArrayData(sortedDistinct(out, m))
   }
 
+  /** POSITIONAL word n-gram hashes: out(i) = hash of tokens[i..i+n), in
+    * document order, duplicates kept — the positional twin of
+    * [[tokenNgrams]] (identical per-gram hash chain, so gram identities
+    * agree across the two). A doc shorter than n tokens yields an EMPTY
+    * array: a strict n-token window cannot exist, and unlike the set
+    * variant there is no whole-doc fallback (a positional consumer needs
+    * every entry to be a real window at its index). */
+  def tokenNgramSeq(tokens: ArrayData, n: Int, seed: Long): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = cnt - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = seed
+      var j = i
+      while (j < i + n) {
+        val t = tokens.getUTF8String(j)
+        h = mix64(h ^ (if (t == null) 0L else hashU(t, seed)))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /**
    * Distinct sorted hashes of tokens whose in-document term frequency is
    * ≥ `minTf`. Repeated tokens characterize a document's topic; hapax
@@ -355,6 +382,22 @@ case class TokenNgramHashes(child: Expression, n: Int, seed: Long) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenNgrams($c, $n, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): TokenNgramHashes =
+    copy(child = newChild)
+}
+
+/** `TokenNgramHashSeq(tokens ARRAY<STRING>, n, seed) -> ARRAY<LONG>` — positional, in order. */
+case class TokenNgramHashSeq(child: Expression, n: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"TokenNgramHashSeq requires ARRAY<STRING>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenNgramSeq(input.asInstanceOf[ArrayData], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenNgramSeq($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgramHashSeq =
     copy(child = newChild)
 }
 

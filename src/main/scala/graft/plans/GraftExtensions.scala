@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharShingleHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L))
     reg("token_ngram_hashes", es =>
       TokenNgramHashes(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L))
+    reg("token_ngram_hash_seq", es =>
+      TokenNgramHashSeq(es(0), lit(es(1)), if (es.length > 2) litL(es(2)) else 42L))
     reg("tf_filtered_hashes", es =>
       TfFilteredHashes(es(0), lit(es(1)), lit(es(2)), if (es.length > 3) litL(es(3)) else 42L))
     reg("minhash_signature", es =>

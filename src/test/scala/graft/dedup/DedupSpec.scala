@@ -17,6 +17,31 @@ class DedupSpec extends SparkSpec {
     base.toDF("doc_id", "text")
   }
 
+  test("repeatedSpans: cross-doc windows merge to maximal spans; self-repeats don't count") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb s1 s2 s3 s4 s5 cc"),   // shared s-run at tokens 2..6
+      (2L, "zz s1 s2 s3 s4 s5"),         // shared s-run at tokens 1..5
+      (3L, "qq rr tt uu vv ww qq rr tt uu vv ww"), // repeats only WITHIN itself
+      (4L, "s1 s2"),                     // shorter than k: no windows at all
+      (5L, "m1 m2 m3 m4 m5 m6"),         // marked windows at 0 and 3: ADJACENT
+      (6L, "m1 m2 m3 xx yy m4 m5 m6")    // same grams split by a gap
+    ).toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      Dedup.repeatedSpans(df, "doc_id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spans(d)
+    assert(got == Set(
+      (1L, 2L, 7L), (2L, 1L, 6L),        // overlapping windows merged
+      (5L, 0L, 6L),                      // adjacent windows (pos 0 and 3) merged
+      (6L, 0L, 3L), (6L, 5L, 8L)),       // gap keeps two maximal spans
+      s"got $got")
+    // minDocs means DISTINCT docs: doc 3's internal repetition marks nothing
+    assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
+    // deterministic under partitioning
+    assert(spans(d.repartition(7)) == got)
+  }
+
   test("exact dedup keeps one representative per content group") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted

@@ -69,6 +69,20 @@ class KernelsSpec extends AnyFunSuite {
     assert(b1.distinct.length == 8) // band index folded in -> distinct keys
   }
 
+  test("tokenNgramSeq: positional, duplicates kept, gram identity matches set variant") {
+    def arr(ts: String*) = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+    def seq(ts: Seq[String], n: Int) =
+      HashKernels.tokenNgramSeq(arr(ts: _*), n, 42L).toLongArray.toSeq
+    // a doc shorter than n has NO windows (no whole-doc fallback)
+    assert(seq(Seq("a", "b"), 3).isEmpty)
+    // one hash per starting position, in order; repeated grams repeat
+    val s = seq(Seq("x", "y", "x", "y", "x"), 2)
+    assert(s.length == 4 && s(0) == s(2) && s(1) == s(3) && s(0) != s(1))
+    // same per-gram chain as the sorted-distinct variant
+    val set = HashKernels.tokenNgrams(arr("p", "q", "r", "s"), 2, 42L).toLongArray.toSet
+    assert(seq(Seq("p", "q", "r", "s"), 2).toSet == set)
+  }
+
   test("jaccardSorted exact on sorted arrays") {
     val a = new GenericArrayData(Array(1L, 2L, 3L, 4L))
     val b = new GenericArrayData(Array(3L, 4L, 5L, 6L))
