@@ -637,6 +637,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"))
     }),
 
+    // Incremental exact dedup: a synthetic crawl increment (re-crawls of
+    // every doc_id % 3 == 0 page under fresh ids ∪ genuinely new revisions
+    // of every doc_id % 7 == 2 page) deduped against the frozen documents
+    // corpus. The Bloom pre-filter prunes the corpus scan; the exact
+    // anti-join makes the output independent of fpp — which is what the
+    // SQL oracle replays.
+    "incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh revision")).as("text")))
+      dedup.Dedup.incrementalExact(batch, d.select(col("text")),
+          "doc_id", "text", expectedBatchRows = 20000L, fpp = 1e-3)
+        .select(col("doc_id"))
+    }),
+
     // RefinedWeb-style cross-doc boilerplate line removal. The synthetic
     // corpus is single-line, so the query constructs deterministic "lines"
     // (2-token chunks of the whitespace tokenization — small shared vocab
@@ -1324,6 +1342,15 @@ object SparkEntry {
         |contaminated AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
         |SELECT d.doc_id, d.lang FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    "incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' fresh revision' AS text
+        |  FROM documents WHERE doc_id % 7 = 2)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)""".stripMargin,
 
     "dup_spans" ->
       """WITH planted AS (SELECT doc_id,

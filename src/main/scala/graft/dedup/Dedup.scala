@@ -61,6 +61,70 @@ object Dedup {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
+  /**
+   * Incremental exact dedup: drop rows of `batch` (a crawl increment) whose
+   * content already exists in a FROZEN `corpus` — the daily-operations shape
+   * at 10^12 docs, where re-running [[exactDedup]] over corpus ∪ batch would
+   * shuffle the world to answer a question about the increment.
+   *
+   * Scale shape — the corpus is scanned once and NEVER shuffled:
+   *
+   *  1. a Bloom filter is aggregated over the BATCH's `xxhash64(text)` probe
+   *     keys (Catalyst's partial-aggregable `BloomFilterAggregate`: one
+   *     per-partition bloom each, OR-merged — no row leaves its partition);
+   *  2. the corpus scan is filtered by `BloomFilterMightContain(probe,
+   *     scalar-subquery bloom)` — the same expression shape Spark's own
+   *     `InjectRuntimeFilter` plants on shuffle-join sides, made explicit
+   *     and explicitly SIZED (the auto-injection caps at the
+   *     `runtime.bloomFilter.maxNumItems` conf and only fires inside a
+   *     join); survivors ≈ |batch ∩ corpus| + fpp·|corpus| thin keys;
+   *  3. those candidate keys alone are exact-anti-joined (128-bit content
+   *     identity, [[contentKey128]]) against the batch, so Bloom false
+   *     positives are eliminated and the OUTPUT IS EXACT — the filter
+   *     affects bytes moved, never semantics. AQE broadcasts the candidate
+   *     side when it fits.
+   *
+   * Sizing: bits = -n·ln(fpp)/ln²2 (optimal for n = `expectedBatchRows`).
+   * fpp must be budgeted against the CORPUS (candidates include fpp·|corpus|
+   * false keys): at a 10^8-row batch against 10^12 docs, fpp 1e-6 costs
+   * ~330 MB of broadcast bloom and leaks ~10^6 false candidates — three
+   * orders below the shuffle the bloom removes. NOTE Spark silently clamps
+   * the aggregate at `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+   * `.maxNumBits` (4M / 67M-bit defaults) — raise those confs alongside
+   * `expectedBatchRows`, or the realized fpp degrades (output stays exact
+   * regardless; only step-2 pruning weakens).
+   *
+   * Null semantics: a null `textCol` never matches anything (anti-join on a
+   * null key keeps the row), matching SQL `NOT EXISTS (… c.text = b.text)`.
+   */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       expectedBatchRows: Long = 1000000L,
+                       fpp: Double = 1e-4): DataFrame = {
+    require(expectedBatchRows > 0, s"expectedBatchRows must be > 0, got $expectedBatchRows")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val ln2sq = math.log(2) * math.log(2)
+    val nBits = math.max(64L,
+      math.ceil(-expectedBatchRows.toDouble * math.log(fpp) / ln2sq).toLong)
+    def probe = xxhash64(col(textCol)) // never null: nulls fold into the hash
+    val bloom = batch.select(column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        expression(probe), expression(lit(expectedBatchRows)), expression(lit(nBits)))
+        .toAggregateExpression()).as("bloom"))
+    val mightBeInBatch = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        expression(bloom.scalar()), expression(probe)))
+    val candidateKeys = corpus
+      .filter(mightBeInBatch)
+      .select(contentKey128(col(textCol)).as("content_hash"))
+      .distinct()
+    batch
+      .withColumn("content_hash", contentKey128(col(textCol)))
+      .join(candidateKeys, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
   // ---------------------------------------------------------- MinHash-LSH
   case class MinHashConfig(
       numHashes: Int = 48, bands: Int = 12, rowsPerBand: Int = 4,

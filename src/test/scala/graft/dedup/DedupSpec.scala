@@ -17,6 +17,34 @@ class DedupSpec extends SparkSpec {
     base.toDF("doc_id", "text")
   }
 
+  test("incrementalExact: batch minus frozen corpus, exact under any bloom fpp") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i => (i, s"corpus document number $i body")).toDF("doc_id", "text")
+    val batch = (
+      (0L until 50L).map(i => (1000L + i, s"corpus document number ${i * 3} body")) ++ // re-crawls
+      (0L until 30L).map(i => (2000L + i, s"brand new page $i content"))               // genuinely new
+    ).toDF("doc_id", "text")
+    val expected = (2000L until 2030L).toSet
+
+    val out = Dedup.incrementalExact(batch, corpus, "doc_id", "text",
+      expectedBatchRows = 100L, fpp = 1e-3)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().toSet == expected)
+    // the bloom probe must actually be in the plan (pre-filter, not decoration)
+    assert(out.queryExecution.executedPlan.toString.contains("might_contain"))
+
+    // a deliberately undersized bloom (high fpp -> many false candidates)
+    // changes pruning only — the exact anti-join keeps the output identical
+    val sloppy = Dedup.incrementalExact(batch, corpus, "doc_id", "text",
+      expectedBatchRows = 1L, fpp = 0.9)
+    assert(sloppy.select("doc_id").as[Long].collect().toSet == expected)
+
+    // equivalence with the plain (corpus-shuffling) anti-join it replaces
+    val plain = batch.join(corpus.select($"text"), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(plain == expected)
+  }
+
   test("repeatedSpans: cross-doc windows merge to maximal spans; self-repeats don't count") {
     import spark.implicits._
     val d = Seq(
