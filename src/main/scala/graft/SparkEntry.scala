@@ -769,6 +769,17 @@ object SparkEntry {
           (min(col("c")) === 3 && max(col("c")) === 3).as("k_complete"))
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF (k-means coarse quantizer) scale path, same completeness gate
+      // as ann_lsh_topk: every vector is a query with exactly k ranked
+      // neighbors regardless of how the probed inverted lists populated
+      ann.Ann.ivfTopK(t(s, dir, "embeddings"), 3,
+          ann.Ann.IvfConfig(nlist = 32, nprobe = 3))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("c")) === 3 && max(col("c")) === 3).as("k_complete"))
+    }),
+
     // ------------------------------------------------------- dedup family
     "dedup_minhash" -> ((s, dir) => {
       // verifyJaccard = 1.0 ⇒ emitted pairs have EQUAL normalized token
@@ -1556,6 +1567,9 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
 
     "ann_lsh_topk" ->
+      "SELECT count(*) AS n_queries, true AS k_complete FROM embeddings",
+
+    "ann_ivf_topk" ->
       "SELECT count(*) AS n_queries, true AS k_complete FROM embeddings",
 
     "er_clone_pairs" ->

@@ -265,6 +265,166 @@ object Ann {
    * complete via `completeTopK` — coarse multi-probe first, then a
    * bounded chunked exact pass, never an unbounded driver collect.
    */
+  /**
+   * IVF configuration (the FAISS `IndexIVFFlat` analog,
+   * `/root/reference/relik/retriever/indexers/faissindex.py:82-104` — the
+   * reference builds its FAISS index with a trained coarse quantizer).
+   *
+   * @param nlist      coarse centroids = inverted lists. Scale rule: pick
+   *                   nlist ≈ √N so lists stay ≈ √N rows — at 10^12 vectors,
+   *                   nlist = 10^6 keeps each list ~10^6 rows, and the
+   *                   candidate join on `cid` has 10^6 distinct keys (ample
+   *                   reducer parallelism; AQE skew-split covers hot lists).
+   * @param nprobe     lists probed per query (recall/cost knob).
+   * @param iterations Lloyd refinement steps over the training sample.
+   * @param maxTrain   training-sample bound. The quantizer is trained on a
+   *                   DETERMINISTIC bounded sample collected to the driver —
+   *                   the standard IVF practice (FAISS trains on a sample,
+   *                   not the corpus) and the same bounded-collect contract
+   *                   as [[bruteForceTopK]]'s query side. The corpus itself
+   *                   is never collected.
+   */
+  case class IvfConfig(nlist: Int = 64, nprobe: Int = 4, iterations: Int = 5,
+                       maxTrain: Int = 16384, seed: Long = 42L,
+                       fallbackChunk: Int = 10000)
+
+  /**
+   * Deterministic k-means coarse quantizer. Sample = `maxTrain` rows in
+   * `xxhash64(id, seed)` order (id tiebreak) — invariant under partitioning
+   * and retries, like every sampler in this engine. Init = first `nlist`
+   * sampled vectors; Lloyd assignment by max cosine with lowest-index
+   * tiebreak; an emptied list keeps its previous centroid. Everything about
+   * the model is a pure function of (corpus contents, cfg).
+   */
+  def trainCentroids(corpus: DataFrame, cfg: IvfConfig = IvfConfig(),
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .orderBy(xxhash64(col("id"), lit(cfg.seed)), col("id"))
+      .limit(cfg.maxTrain)
+      .as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "IVF quantizer training needs a non-empty corpus")
+    val nlist = math.min(cfg.nlist, sample.length)
+    val dim = sample(0).length
+    var centroids = Array.tabulate(nlist)(i => sample(i).clone())
+    for (_ <- 1 to cfg.iterations) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0
+        var bestC = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          val s = VectorKernels.cosineArr(centroids(c), v)
+          if (s > bestC) { bestC = s; best = c } // strict > : lowest index wins ties
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  /**
+   * Approximate top-k via IVF — the k-means-coarse-quantizer scale path
+   * (complementary to [[lshTopK]]: SRP-LSH is data-independent; IVF adapts
+   * its partitioning to the corpus distribution, which wins on clustered
+   * embeddings).
+   *
+   * Shape, corpus-vs-corpus (every row is a query):
+   *  1. train the quantizer on a bounded deterministic sample (driver-side
+   *     Lloyd — the model is nlist×dim floats, broadcast to executors);
+   *  2. ONE map pass assigns each vector to its nearest centroid — the
+   *     inverted lists are just a `cid` column, no explode (a vector lives
+   *     in exactly one list, so candidates need no dedup);
+   *  3. ONE map pass emits each query's `nprobe` nearest list ids;
+   *  4. candidates = probes ⋈ lists on `cid` (nlist distinct keys — sized by
+   *     the √N rule above), exact cosine re-rank, top-k window;
+   *  5. always-k: queries whose probed lists held < k candidates finish via
+   *     chunked exact [[bruteForceTopK]] (≤ `fallbackChunk` queries per
+   *     chunk — bounded driver memory, never the whole sparse set).
+   */
+  def ivfTopK(corpus: DataFrame, k: Int, cfg: IvfConfig = IvfConfig(),
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(v, cfg, "id", "vec")
+    val cB = spark.sparkContext.broadcast(cents)
+    val nprobe = math.min(cfg.nprobe, cents.length)
+
+    val assigned = v.as[(Long, Array[Float])].mapPartitions { it =>
+      val cs = cB.value
+      it.map { case (id, vec) =>
+        var best = 0
+        var bestC = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = VectorKernels.cosineArr(cs(c), vec)
+          if (s > bestC) { bestC = s; best = c }
+          c += 1
+        }
+        (id, vec, best)
+      }
+    }.toDF("id", "vec", "cid")
+
+    val probes = v.as[(Long, Array[Float])].mapPartitions { it =>
+      val cs = cB.value
+      it.flatMap { case (id, vec) =>
+        val scored = Array.tabulate(cs.length)(c => (VectorKernels.cosineArr(cs(c), vec), c))
+        scored.sortBy(t => (-t._1, t._2)).iterator.take(nprobe).map(t => (id, vec, t._2))
+      }
+    }.toDF("qid", "qvec", "cid")
+
+    val cands = probes.join(assigned, "cid")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        cosine_sim(col("qvec"), col("vec")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ranked = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+
+    // always-k completion (same contract as lshTopK; the IVF-natural coarse
+    // pass — re-probing with a bigger nprobe — is subsumed here by the
+    // chunked exact residue because probed-list sparsity is a small-corpus /
+    // tiny-list phenomenon: at the √N sizing a single list already holds ≫ k)
+    val full = ranked.groupBy($"query_id").agg(count(lit(1)).as("c"))
+      .filter($"c" >= k).select($"query_id")
+    val fullRanked = ranked.join(full, Seq("query_id"), "left_semi")
+    val sparse = v.join(full.select($"query_id".as("id")), Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSparse = sparse.count()
+    val exact = if (nSparse == 0) Seq.empty[DataFrame] else {
+      val nChunks = math.max(1, math.ceil(nSparse.toDouble / cfg.fallbackChunk).toInt)
+      (0 until nChunks).map { c =>
+        bruteForceTopK(v, sparse.filter(pmod(xxhash64($"id"), lit(nChunks)) === c),
+            k, idCol = "id", vecCol = "vec")
+          .select($"query_id", $"neighbor_id", $"cosine", $"rank")
+          .localCheckpoint(eager = true)
+      }
+    }
+    lastTopUpStats = TopUpStats(nSparse, nSparse, exact.size)
+    if (nSparse > 0)
+      System.err.println(s"[graft.ann] ivf always-k top-up: sparse=$nSparse " +
+        s"exact_chunks=${exact.size} (corpus never collected)")
+    val out = ((fullRanked +: exact).reduce(_ unionByName _)).localCheckpoint(eager = true)
+    exact.flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd)
+      .foreach(_.unpersist(blocking = false))
+    sparse.unpersist(blocking = false)
+    v.unpersist(blocking = false)
+    out
+  }
+
   def lshTopK(corpus: DataFrame, k: Int, cfg: LshConfig = LshConfig(),
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(idCol).cast("long").as("id"),

@@ -119,6 +119,55 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"indexed-search recall vs exact: $recall")
   }
 
+  test("ivfTopK: recall vs exact ≥ 0.9 on clustered corpus, always-k, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val centers = Array.tabulate(15) { c =>
+      val r = new scala.util.Random(c + 700)
+      Array.fill(16)(r.nextFloat() * 2 - 1)
+    }
+    val data = for (c <- 0 until 15; m <- 0 until 8) yield {
+      ((c * 8 + m).toLong, centers(c).map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val k = 3
+    val cfg = Ann.IvfConfig(nlist = 15, nprobe = 2, maxTrain = 64)
+    val out = Ann.ivfTopK(df, k, cfg).collect()
+    // always-k: every vector is a query with exactly k ranked neighbors
+    val perQ = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(perQ.size == 120 && perQ.values.forall(_ == k), s"per-query counts off")
+    assert(out.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    // recall vs exact: the quantizer adapts to the 15 planted clusters
+    val exact = Ann.bruteForceTopK(df, df, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivf recall $recall")
+    // determinism under input partitioning: quantizer sample, assignment and
+    // ranking are all pure functions of (contents, cfg)
+    val out2 = Ann.ivfTopK(df.repartition(7), k, cfg).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    val out1 = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert(out1 == out2, "ivfTopK must be invariant under input partitioning")
+  }
+
+  test("ivfTopK: sparse probed lists complete via bounded chunked exact") {
+    import spark.implicits._
+    // nlist ≈ corpus size → nearly every inverted list is a singleton and
+    // nprobe=1 yields < k candidates for most queries: the top-up must
+    // deliver exactly k through chunked exact passes, never one big collect
+    val df = corpus(80, 16, 83).toDF("vec_id", "embedding")
+    val k = 4
+    val out = Ann.ivfTopK(df, k,
+      Ann.IvfConfig(nlist = 64, nprobe = 1, maxTrain = 80, fallbackChunk = 16)).collect()
+    val perQ = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(perQ.size == 80 && perQ.values.forall(_ == k), s"per-query counts off")
+    val st = Ann.lastTopUpStats
+    assert(st.sparsePrimary > 0, "expected sparse queries in this geometry")
+    assert(st.exactChunks == math.ceil(st.sparseAfterCoarse / 16.0).toInt,
+      s"exact residue must be chunked: $st")
+  }
+
   test("lshTopK recall vs exact brute force ≥ 0.9 on clustered corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
