@@ -820,6 +820,37 @@ object SparkEntry {
           col("b.url").cast("bigint").as("id_b"))
     }),
 
+    "er_incremental" -> ((s, dir) => {
+      // batch-incremental ER recall gate (er_clone_pairs' shape through the
+      // daily-operations path): old state = full ER over documents; the
+      // arriving batch = exact clones (doc_id + 1e6). A clone's features
+      // equal its source's (identical text; the batch is a full clone of
+      // the corpus, so even recomputed DF-stops coincide), so every
+      // (source, clone) pair blocks together, scores 1.0 and merges — the
+      // incremental assignment must put each clone in its source's cluster.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        col("text").cast("binary").as("html"), col("text"), lit("en").as("lang"))
+        .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
+      val batch = t(s, dir, "documents").select(
+        (col("doc_id") + 1000000).cast("string").as("url"),
+        lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("warc_ts"),
+        col("text").cast("binary").as("html"), col("text"), lit("en").as("lang"))
+        .as[graft.schema.Page](org.apache.spark.sql.Encoders.product[graft.schema.Page])
+      val cfg = pipeline.ErPipeline.Config()
+      val feats = (p: org.apache.spark.sql.Dataset[graft.schema.Page]) =>
+        block.Blocking.features(p, cfg.blocking)
+          .select(col("url"), col("mention"), col("sig"))
+      val oldAssign = pipeline.ErPipeline.run(docs, cfg)
+      val inc = pipeline.ErPipeline.incremental(feats(docs), oldAssign, feats(batch), cfg)
+      inc.as("a").join(inc.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+          col("b.url").cast("bigint") === col("a.url").cast("bigint") + 1000000)
+        .select(col("a.url").cast("bigint").as("id_a"),
+          col("b.url").cast("bigint").as("id_b"))
+    }),
+
     "stream_assign" -> ((s, dir) => {
       // Online ER assignment recall gate (er_clone_pairs style, §2.10):
       // canonical clusters = exact-text groups (the offline dedup output IS
@@ -1573,6 +1604,9 @@ object SparkEntry {
       "SELECT count(*) AS n_queries, true AS k_complete FROM embeddings",
 
     "er_clone_pairs" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+
+    "er_incremental" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
 
     "stream_assign" ->

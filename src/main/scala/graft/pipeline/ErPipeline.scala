@@ -155,6 +155,72 @@ object ErPipeline {
     clusters
   }
 
+  /**
+   * Batch-incremental ER (daily operations at 10^12 docs): fold a crawl
+   * batch into an existing ER state, generating and scoring ONLY the pairs
+   * that touch the batch and re-converging ONLY the clusters those edges
+   * reach ([[ConnectedComponents.incremental]]). Re-running [[run]] over
+   * corpus ∪ batch would shuffle the world to answer a question about the
+   * increment — same motivation as [[graft.dedup.Dedup.incrementalExact]].
+   *
+   * Inputs are the artifacts a [[runCheckpointed]] (or [[run]]) left behind:
+   * the per-doc feature snapshot `(url, mention, sig)` and the assignment
+   * `(url, cluster_id)`; `newFeatures` is the caller's feature pass over the
+   * batch — computed with the SAME stop discipline the store was minted with
+   * ([[graft.streaming.EntityAssign]]'s frozen-stop contract; with DF-stops
+   * enabled, per-batch stop recomputation makes signatures drift with batch
+   * composition).
+   *
+   * Scale shape:
+   *  - the corpus-side cost is ONE block-key map pass + a thin
+   *    `groupBy(key).count` (map-side combined) for the purge policy —
+   *    the corpus is never pair-joined against itself;
+   *  - candidate generation is `newKeys ⋈ allKeys` — the batch side of the
+   *    equi-join is small (broadcastable when it fits), and the boilerplate
+   *    guard drops union-corpus keys above `purgeLimit` before the join, so
+   *    a hot key costs ≤ |batch ∩ key| × purgeLimit, never |corpus|²;
+   *  - feature attach + scoring run at candidate volume (batch-sized), and
+   *    the cluster re-converge touches only affected components.
+   *
+   * Labeling matches the full rebuild: merged components relabel to their
+   * minimum member id, untouched clusters keep their labels, and novel
+   * batch docs with no edges become singletons — so with corpus-independent
+   * features (frozen or disabled DF-stops) and blocks inside the all-pairs
+   * regime, `incremental(old state, batch)` equals `run(corpus ∪ batch)`
+   * exactly (property-tested in ErPipelineSpec).
+   */
+  def incremental(oldFeatures: DataFrame, oldAssignment: DataFrame,
+                  newFeatures: DataFrame, cfg: Config = Config()): DataFrame = {
+    val fcols = Seq(col("url"), col("mention"), col("sig"))
+    val oldF = oldFeatures.select(fcols: _*)
+    val newF = newFeatures.select(fcols: _*)
+    val allF = oldF.unionByName(newF)
+
+    val newBlocks = Blocking.blockKeys(newF, cfg.blocking)
+    val allBlocks = Blocking.blockKeys(allF, cfg.blocking)
+    // purge policy over the UNION corpus (same rule as the offline path):
+    // a key that exploded past purgeLimit carries no linkage signal
+    val keep = allBlocks.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cfg.blocking.purgeLimit).select(col("key"))
+    val cand = newBlocks.join(keep, Seq("key"), "left_semi")
+      .select(col("key"), col("url").as("nu"))
+      .join(allBlocks.select(col("key"), col("url").as("au")), Seq("key"))
+      .filter(col("nu") =!= col("au"))
+      .select(least(col("nu"), col("au")).as("url_a"),
+        greatest(col("nu"), col("au")).as("url_b"))
+      .dropDuplicates("url_a", "url_b")
+    val edges = PairScorer.score(Blocking.attachFeatures(cand, allF), cfg.scorer)
+      .select(col("url_a"), col("url_b"))
+
+    val touched = ConnectedComponents.incremental(oldAssignment, edges)
+    // novel batch docs no edge reached: singleton clusters, like assignAll's
+    // closure over the full node universe
+    val singles = newF.select(col("url"))
+      .join(touched, Seq("url"), "left_anti")
+      .select(col("url"), col("url").as("cluster_id"))
+    touched.unionByName(singles)
+  }
+
   /** Translate an id-space pair table (url_a, url_b as 128-bit structs)
     * back to url strings via the features snapshot's (url, nid) columns —
     * for diagnostics over checkpointed pair/edge artifacts. No-op input

@@ -82,6 +82,37 @@ class ErPipelineSpec extends SparkSpec {
     p2.unpersist()
   }
 
+  test("batch-incremental ER ≡ full rebuild on corpus ∪ batch") {
+    import org.apache.spark.sql.functions._
+    // corpus-independent features (DF-stops off) + all-pairs blocking
+    // regime: the exact-equivalence precondition incremental() documents
+    val cfg = ErPipeline.Config(
+      blocking = Blocking.Config(dfStopRatio = 1.0, maxBlock = 4096),
+      hashIds = false)
+    val all = CorpusGen.pages(spark, 1200L, seed = 7L).cache()
+    // deterministic split: ~1/4 of docs arrive as the new batch — some are
+    // clone-cluster members whose siblings are in the old corpus (edges into
+    // existing clusters), some clusters land wholly in the batch (novel
+    // clusters), and singletons cover the no-edge path
+    val isNew = xxhash64(col("url")) % 4 === 0
+    val oldPages = all.filter(!isNew).cache()
+    val newPages = all.filter(isNew).cache()
+
+    val oldAssign = ErPipeline.run(oldPages, cfg)
+      .localCheckpoint(true)
+    val feats = (p: org.apache.spark.sql.Dataset[graft.schema.Page]) =>
+      Blocking.features(p, cfg.blocking).select(col("url"), col("mention"), col("sig"))
+    val inc = ErPipeline.incremental(feats(oldPages), oldAssign, feats(newPages), cfg)
+    val full = ErPipeline.run(all, cfg)
+
+    assert(inc.count() == all.count(), "incremental must cover every doc exactly once")
+    val onlyInc = inc.exceptAll(full).count()
+    val onlyFull = full.exceptAll(inc).count()
+    assert(onlyInc == 0 && onlyFull == 0,
+      s"incremental diverged from full rebuild: $onlyInc vs $onlyFull rows")
+    Seq(all, oldPages, newPages).foreach(_.unpersist())
+  }
+
   test("end-to-end F1 ≥ 0.99 at the bench corpus shape (6×80)") {
     // the round-5 regression class: thresholds tuned on the 2×40 suite
     // shape silently failed at the bench's 6-paragraph × 80-word pages
