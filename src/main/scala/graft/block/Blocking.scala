@@ -231,6 +231,32 @@ object Blocking {
   }
 
   /**
+   * Incremental candidate pairs: blocks carry a `fresh` BOOLEAN column
+   * (true = the row belongs to the arriving batch) and ONLY pairs touching
+   * a fresh doc are generated, under the SAME small/hot/purge skew policy
+   * as [[candidatePairs]] (via `Dedup.blockPairs`' delta mode). Blocks with
+   * no fresh member — at a daily-increment ratio, nearly all of them — are
+   * dropped at the thin per-key stats before any pair work, and hot blocks
+   * pair each fresh doc with its ±snWindow mention-sorted neighbors instead
+   * of cross-joining batch×block. The corpus side costs one block-key map
+   * pass + the thin stats aggregate; it is never pair-joined against itself.
+   */
+  def deltaCandidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val tiebreak: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (blocks.schema("url").dataType == org.apache.spark.sql.types.StringType) id128
+      else identity
+    graft.dedup.Dedup.blockPairs(
+        blocks.select($"key", $"url".as("id"), $"mention", $"fresh"),
+        struct($"id", $"mention", $"fresh"), cfg.maxBlock, cfg.purgeLimit, cfg.snWindow,
+        p => struct(p.getField("mention"), tiebreak(p.getField("id"))),
+        touching = Some(p => p.getField("fresh")))
+      .select($"a.id".as("url_a"), $"b.id".as("url_b"))
+      .dropDuplicates("url_a", "url_b")
+  }
+
+  /**
    * Attach both sides' scorer payloads to thin candidate pairs (one join
    * per side; Catalyst broadcasts the feature table when it fits).
    */

@@ -365,11 +365,25 @@ object Dedup {
    *                 chains — the right shape for EXACT-identity tiers, where
    *                 a 10M-member dup family must stay connected without
    *                 C(n,2) or chain-only pairing
+   * @param touching DELTA mode: a predicate over the payload marking batch
+   *                 rows. When set, only pairs with ≥1 marked side are
+   *                 emitted, blocks with NO marked member are skipped before
+   *                 any pair work (the daily-increment regime: ~all corpus
+   *                 blocks), and the SN branch pairs each marked row with
+   *                 its ±snWindow sorted neighbors (lead + lag over one
+   *                 shared window spec = one exchange+sort) instead of
+   *                 emitting every block-local chain link. Without this
+   *                 policy an incremental fold cross-joined batch×block up
+   *                 to purgeLimit members — one 50k-member mention block ×
+   *                 5k batch members = 250M pairs each dragging two
+   *                 signature payloads, the shape that OOM-killed the 3.3M
+   *                 -doc fold rehearsal at 60 GB of shuffle.
    */
   private[graft] def blockPairs(blocks: DataFrame, payload: Column, cap: Int,
       purgeLimit: Int = 1000000, snWindow: Int = 8,
       sortKey: Column => Column = p => p.getField("id"),
-      oversizedStar: Boolean = false): DataFrame = {
+      oversizedStar: Boolean = false,
+      touching: Option[Column => Column] = None): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
 
@@ -383,32 +397,59 @@ object Dedup {
     // thin per-key stats, map-side combined; min(p) is the star center
     // (struct ordering is field-lexicographic and `id` is the first field,
     // so it is the block's min id — deterministic under retries)
-    val keyStats = rows.groupBy($"key")
-      .agg(count(lit(1)).as("n"), min($"p").as("pmin"))
-    val withN = rows.join(keyStats, "key")
+    val statAggs = Seq(count(lit(1)).as("n"), min($"p").as("pmin")) ++
+      touching.map(t => sum(when(t($"p"), 1L).otherwise(0L)).as("nTouch")).toSeq
+    val keyStats = rows.groupBy($"key").agg(statAggs.head, statAggs.tail: _*)
+    // delta mode: a block with no marked member cannot produce a touching
+    // pair — drop it at the thin stats, before the block rows rejoin
+    val liveStats =
+      if (touching.isDefined) keyStats.filter($"nTouch" >= 1L) else keyStats
+    val withN = rows.join(liveStats.select($"key", $"n", $"pmin"), "key")
 
-    val smallPairs = withN
+    val smallAll = withN
       .filter($"n".between(2, cap))
       .groupBy($"key").agg(collect_list($"p").as("members"))
       .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.PairCombinations(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression($"members")))
         .as(Seq("x", "y")))
+    // delta mode: full C(n,2) inside the (≤ cap²/2-bounded) block, filtered
+    // to touching pairs — identical pair semantics to the offline policy
+    // restricted to the batch
+    val smallPairs = touching.fold(smallAll)(t => smallAll.filter(t($"x") || t($"y")))
 
     val hotPairs = if (oversizedStar) {
-      withN
+      val star = withN
         .filter($"n" > cap && $"n" <= purgeLimit)
         .select($"pmin".as("x"), $"p".as("y"))
         .filter($"x.id" =!= $"y.id")
+      touching.fold(star)(t => star.filter(t($"x") || t($"y")))
     } else {
       val wOrd = org.apache.spark.sql.expressions.Window
         .partitionBy($"key").orderBy(sortKey($"p"), $"p.id")
-      val leads = array((1 to snWindow).map(d => lead($"p", d).over(wOrd)): _*)
-      withN
-        .filter($"n" > cap && $"n" <= purgeLimit)
-        .select($"p".as("x"), leads.as("ys")) // window exprs first, generate second
-        .select($"x", explode($"ys").as("y"))
-        .filter($"y".isNotNull)
+      val hotRows = withN.filter($"n" > cap && $"n" <= purgeLimit)
+      touching match {
+        case None =>
+          val leads = array((1 to snWindow).map(d => lead($"p", d).over(wOrd)): _*)
+          hotRows
+            .select($"p".as("x"), leads.as("ys")) // window exprs first, generate second
+            .select($"x", explode($"ys").as("y"))
+            .filter($"y".isNotNull)
+        case Some(t) =>
+          // every offline SN pair (i, i+d), d ≤ w, with a marked side is
+          // reachable from its marked endpoint via lead (marked = i) or lag
+          // (marked = i+d) — emitting both directions from marked rows only
+          // yields exactly the offline pair set ∩ touching (duplicates from
+          // marked-marked adjacency dedup downstream on canonical order)
+          val neigh = array(
+            (1 to snWindow).map(d => lead($"p", d).over(wOrd)) ++
+            (1 to snWindow).map(d => lag($"p", d).over(wOrd)): _*)
+          hotRows
+            .select($"p".as("x"), neigh.as("ys"), t($"p").as("xTouch"))
+            .filter($"xTouch") // after the window: neighborhoods see ALL rows
+            .select($"x", explode($"ys").as("y"))
+            .filter($"y".isNotNull)
+      }
     }
 
     smallPairs.unionByName(hotPairs)

@@ -172,13 +172,20 @@ object ErPipeline {
    * composition).
    *
    * Scale shape:
-   *  - the corpus-side cost is ONE block-key map pass + a thin
-   *    `groupBy(key).count` (map-side combined) for the purge policy —
-   *    the corpus is never pair-joined against itself;
-   *  - candidate generation is `newKeys ⋈ allKeys` — the batch side of the
-   *    equi-join is small (broadcastable when it fits), and the boilerplate
-   *    guard drops union-corpus keys above `purgeLimit` before the join, so
-   *    a hot key costs ≤ |batch ∩ key| × purgeLimit, never |corpus|²;
+   *  - the corpus-side cost is ONE block-key map pass + the thin per-key
+   *    stats aggregate (map-side combined) — the corpus is never pair-joined
+   *    against itself, and blocks with no batch member (at a daily-increment
+   *    ratio, nearly all of them) are dropped before any pair work;
+   *  - candidate generation runs the SAME small/hot/purge skew policy as the
+   *    offline path ([[Blocking.deltaCandidatePairs]]), restricted to pairs
+   *    touching the batch: small blocks pair fresh×all inside the bounded
+   *    C(n,2), hot blocks pair each fresh doc with its ±snWindow mention-
+   *    sorted neighbors, oversize keys are purged. The first cut of this
+   *    path cross-joined batch×block up to `purgeLimit` members — one
+   *    50k-member mention block × 5k batch docs = 250M candidate pairs,
+   *    each dragging two ~400 B signatures through the attach join; the
+   *    3.3M-doc fold rehearsal OOM-killed the host at 60 GB of shuffle
+   *    before the policy was unified;
    *  - feature attach + scoring run at candidate volume (batch-sized), and
    *    the cluster re-converge touches only affected components.
    *
@@ -196,19 +203,14 @@ object ErPipeline {
     val newF = newFeatures.select(fcols: _*)
     val allF = oldF.unionByName(newF)
 
-    val newBlocks = Blocking.blockKeys(newF, cfg.blocking)
-    val allBlocks = Blocking.blockKeys(allF, cfg.blocking)
-    // purge policy over the UNION corpus (same rule as the offline path):
-    // a key that exploded past purgeLimit carries no linkage signal
-    val keep = allBlocks.groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= cfg.blocking.purgeLimit).select(col("key"))
-    val cand = newBlocks.join(keep, Seq("key"), "left_semi")
-      .select(col("key"), col("url").as("nu"))
-      .join(allBlocks.select(col("key"), col("url").as("au")), Seq("key"))
-      .filter(col("nu") =!= col("au"))
-      .select(least(col("nu"), col("au")).as("url_a"),
-        greatest(col("nu"), col("au")).as("url_b"))
-      .dropDuplicates("url_a", "url_b")
+    // blockKeys is a per-row map (explode) — keying the two sides separately
+    // and unioning is plan-identical to keying the union, and lets the batch
+    // side carry its `fresh` mark without a join against the block table
+    val allBlocks = Blocking.blockKeys(oldF, cfg.blocking)
+      .withColumn("fresh", lit(false))
+      .unionByName(Blocking.blockKeys(newF, cfg.blocking)
+        .withColumn("fresh", lit(true)))
+    val cand = Blocking.deltaCandidatePairs(allBlocks, cfg.blocking)
     val edges = PairScorer.score(Blocking.attachFeatures(cand, allF), cfg.scorer)
       .select(col("url_a"), col("url_b"))
 
