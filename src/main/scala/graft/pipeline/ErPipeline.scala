@@ -200,18 +200,57 @@ object ErPipeline {
                   newFeatures: DataFrame, cfg: Config = Config()): DataFrame = {
     val fcols = Seq(col("url"), col("mention"), col("sig"))
     val oldF = oldFeatures.select(fcols: _*)
-    val newF = newFeatures.select(fcols: _*)
+    // the batch featurization (minhash over every batch page) is consumed
+    // by block keys, both attach sides and the singleton anti-join — four
+    // recomputations of the heaviest batch-side kernel without this
+    // checkpoint (measured ~60 s of the 300k-doc fold)
+    val newF = newFeatures.select(fcols: _*).localCheckpoint(eager = true)
     val allF = oldF.unionByName(newF)
 
     // blockKeys is a per-row map (explode) — keying the two sides separately
     // and unioning is plan-identical to keying the union, and lets the batch
-    // side carry its `fresh` mark without a join against the block table
+    // side carry its `fresh` mark without a join against the block table.
+    // Checkpointed: consumed by the bloom aggregate, the key count and the
+    // pair union — three passes over the batch featurization otherwise.
+    val newBlocks = Blocking.blockKeys(newF, cfg.blocking)
+      .withColumn("fresh", lit(true))
+      .localCheckpoint(eager = true)
+    // Bloom pre-prune of the CORPUS block table on the batch's key set: a
+    // corpus row whose key no batch doc shares can sit in no touched block,
+    // and the bloom has no false negatives, so the drop is exact (false
+    // positives are untouched blocks that the nTouch ≥ 1 stats filter
+    // removes as before — bytes, never semantics). Without it the delta
+    // policy's thin stats + join still SHUFFLED every corpus block row:
+    // measured 14 GB / 277 s for a 300k-doc fold at 3.3M docs — slower
+    // than the 178 s full rebuild it was supposed to beat. With the prune,
+    // shuffled rows scale with touched blocks (~key-share of the batch),
+    // not the corpus. Regime bound per BloomPrune: a batch whose key set
+    // outgrows the broadcastable bloom belongs on a bucketed corpus block
+    // artifact (key-bucketed at write), not a runtime filter.
+    val nNewKeys = math.max(1L, newBlocks.count()) // row count ≥ key NDV
+    val touchKey = graft.ops.BloomPrune.mightContain(
+      newBlocks.select(col("key")), "key", col("key"), nNewKeys)
     val allBlocks = Blocking.blockKeys(oldF, cfg.blocking)
+      .filter(touchKey)
       .withColumn("fresh", lit(false))
-      .unionByName(Blocking.blockKeys(newF, cfg.blocking)
-        .withColumn("fresh", lit(true)))
+      .unionByName(newBlocks)
+    // Candidates are batch-scoped and thin — checkpoint once (consumed by
+    // the id bloom and both attach joins), then bloom-prune the feature
+    // union down to docs that actually appear in a pair before attaching.
+    // attachFeatures' equi-joins make the prune exact (bloom false
+    // positives match no pair row); without it both attach joins shuffled
+    // the FULL corpus feature table (~400 B signature rows) to deliver
+    // payloads for batch-sized pairs. With it the corpus features are
+    // scanned, never shuffled — survivors are pair-participant rows only.
     val cand = Blocking.deltaCandidatePairs(allBlocks, cfg.blocking)
-    val edges = PairScorer.score(Blocking.attachFeatures(cand, allF), cfg.scorer)
+      .localCheckpoint(eager = true)
+    val nSideIds = math.max(1L, 2L * cand.count())
+    val sideIds = cand.select(col("url_a").as("id"))
+      .unionAll(cand.select(col("url_b").as("id")))
+    val inPairs = graft.ops.BloomPrune.mightContain(
+      sideIds, "id", col("url"), nSideIds)
+    val edges = PairScorer.score(
+        Blocking.attachFeatures(cand, allF.filter(inPairs)), cfg.scorer)
       .select(col("url_a"), col("url_b"))
 
     val touched = ConnectedComponents.incremental(oldAssignment, edges)

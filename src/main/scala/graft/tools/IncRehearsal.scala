@@ -49,6 +49,9 @@ object IncRehearsal {
     val nTotal = if (args.length > 0) args(0).toLong else 3300000L
     val cores = if (args.length > 1) args(1).toInt else 32
     val corpusDir = if (args.length > 2) args(2) else s"/tmp/graft-inc-corpus-$nTotal"
+    // batch share = 1/batchDenom of the corpus (11 ≈ a 9% increment; 101 ≈
+    // the ~1% daily-crawl regime the fold is actually built for)
+    val batchDenom = if (args.length > 3) args(3).toInt else 11
 
     // same session discipline as DressRehearsal: data-sized shuffle
     // partitions, spillable SMJ default, 32 MB splits, both local disks
@@ -98,7 +101,7 @@ object IncRehearsal {
     }
 
     val all = spark.read.parquet(corpusDir).as[graft.schema.Page]
-    val isNew = pmod(xxhash64(col("url")), lit(11)) === 0 // ~9% arrive as the batch
+    val isNew = pmod(xxhash64(col("url")), lit(batchDenom)) === 0
     val oldPages = all.filter(!isNew)
     val batch = all.filter(isNew)
     val (nOld, nBatch) = (oldPages.count(), batch.count())
