@@ -53,13 +53,23 @@ object Sessions {
   def survival(b: SparkSession.Builder): SparkSession.Builder =
     survivalConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
-  /** Base builder for a local[cores] session with the survival configs and
-    * the settings every entry point shares (UTC, no UI). Callers layer
-    * their own sizing (shuffle partitions, broadcast threshold, …) on top. */
-  def builder(cores: Int, appName: String): SparkSession.Builder =
-    survival(SparkSession.builder()
-      .master(s"local[$cores]")
+  /** Base builder with the survival configs and the settings every entry
+    * point shares (UTC, no UI). Callers layer their own sizing (shuffle
+    * partitions, broadcast threshold, …) on top.
+    *
+    * Master resolution: an externally supplied master wins — spark-submit
+    * publishes `--master` as the `spark.master` system property, and a
+    * hardcoded `.master()` here would silently override it, turning every
+    * cluster submission into a single-JVM local run. Only when nothing is
+    * supplied (plain `sbt runMain`, tests) does the builder default to
+    * `local[cores]`. */
+  def builder(cores: Int, appName: String): SparkSession.Builder = {
+    val base = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+    survival(
+      if (sys.props.get("spark.master").exists(_.nonEmpty)) base
+      else base.master(s"local[$cores]"))
+  }
 }

@@ -37,4 +37,28 @@ class SessionsSpec extends AnyFunSuite {
       assert(opts.get(k).contains(v), s"builder lost survival config $k (has: $opts)")
     }
   }
+
+  test("builder defaults to local[cores] but never overrides a submitted master") {
+    def masterOpt(b: org.apache.spark.sql.SparkSession.Builder): Option[String] = {
+      val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+        .takeWhile(_ != null)
+        .flatMap(_.getDeclaredFields.find(_.getName == "options"))
+        .toSeq.headOption.getOrElse(fail("no options field"))
+      f.setAccessible(true)
+      f.get(b).asInstanceOf[scala.collection.mutable.Map[String, String]].get("spark.master")
+    }
+    val saved = sys.props.remove("spark.master")
+    try {
+      // plain runMain / tests: no external master -> local[cores] default
+      assert(masterOpt(Sessions.builder(2, "m-spec")).contains("local[2]"))
+      // spark-submit publishes --master as the spark.master system property;
+      // the builder must leave it alone or every cluster submission would
+      // silently become a single-JVM local run
+      sys.props("spark.master") = "spark://127.0.0.1:7077"
+      assert(masterOpt(Sessions.builder(2, "m-spec")).isEmpty)
+    } finally {
+      sys.props.remove("spark.master")
+      saved.foreach(v => sys.props("spark.master") = v)
+    }
+  }
 }
