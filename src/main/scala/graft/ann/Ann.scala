@@ -125,17 +125,31 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val v = corpus
-    val full = ranked0.groupBy($"query_id").agg(count(lit(1)).as("c"))
-      .filter($"c" >= k).select($"query_id")
-    val fullRanked = ranked0.join(full, Seq("query_id"), "left_semi")
+    // Checkpoint the THIN primary candidates ONCE (≤ k rows per query):
+    // without this, `fullRanked`, the coarse-pass merge AND the caller's
+    // final materialization each re-executed the ENTIRE primary LSH
+    // pipeline (bucket explode → blockPairs → vector join → re-rank) —
+    // shuffle reuse does not survive across separate actions, so the
+    // bench-visible cost was ~3× the pipeline (guide §1.2: don't compute
+    // things you throw away). The per-query candidate count rides the SAME
+    // window partitioning row_number already established (guide §2.4 —
+    // no second exchange; groups are bounded by the rank ≤ k filter), so
+    // full/sparse classification is a filter, not a groupBy + semi-join.
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+    val ranked = ranked0.withColumn("cnt", count(lit(1)).over(cw))
+      .localCheckpoint(eager = true)
+    val rankedBlocks =
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(ranked).toSeq
+    val fullRanked = ranked.filter($"cnt" >= k).drop("cnt")
 
-    val sparse1 = queriesV.join(full.select($"query_id".as("id")), Seq("id"), "left_anti")
+    val sparse1 = queriesV.join(
+        ranked.filter($"cnt" >= k).select($"query_id".as("id")), Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = sparse1.count()
     if (n1 == 0) {
       sparse1.unpersist(blocking = false)
       lastTopUpStats = TopUpStats(0, 0, 0)
-      return (fullRanked, Nil)
+      return (fullRanked, rankedBlocks)
     }
 
     // coarse pass: same seed, half the bits -> superset buckets
@@ -151,19 +165,20 @@ object Ann {
       .join(v.select($"id", $"vec"), Seq("id"))
       .select($"qid".as("query_id"), $"id".as("neighbor_id"),
         graft.functions.GraftFunctions.cosine_sim($"qvec", $"vec").as("cosine"))
-    // merge with whatever the primary buckets already found for these queries
-    val sparseRanked0 = ranked0.join(full, Seq("query_id"), "left_anti")
+    // merge with whatever the primary buckets already found for these
+    // queries (read from the checkpoint, not a re-execution)
+    val sparseRanked0 = ranked.filter($"cnt" < k)
       .select($"query_id", $"neighbor_id", $"cosine")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     val coarseRanked = coarseCands.unionByName(sparseRanked0)
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .withColumn("cnt", count(lit(1)).over(cw))
       .localCheckpoint(eager = true)
 
-    val coarseFull = coarseRanked.groupBy($"query_id").agg(count(lit(1)).as("c"))
-      .filter($"c" >= k).select($"query_id")
-    val sparse2 = sparse1.join(coarseFull.select($"query_id".as("id")), Seq("id"), "left_anti")
+    val sparse2 = sparse1.join(
+        coarseRanked.filter($"cnt" >= k).select($"query_id".as("id")), Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n2 = sparse2.count()
 
@@ -182,11 +197,11 @@ object Ann {
       System.err.println(s"[graft.ann] always-k top-up: sparse_primary=$n1 " +
         s"after_coarse=$n2 exact_chunks=$nChunksRun (corpus never collected)")
 
-    val coarseOnly = coarseRanked.join(coarseFull, Seq("query_id"), "left_semi")
+    val coarseOnly = coarseRanked.filter($"cnt" >= k).drop("cnt")
     val out = (Seq(fullRanked, coarseOnly) ++ exact).reduce(_ unionByName _)
     sparse1.unpersist(blocking = false)
     sparse2.unpersist(blocking = false)
-    val scratch = (coarseRanked +: exact)
+    val scratch = rankedBlocks ++ (coarseRanked +: exact)
       .flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd)
     (out, scratch)
   }
@@ -392,16 +407,23 @@ object Ann {
         cosine_sim(col("qvec"), col("vec")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // thin candidates checkpointed ONCE; per-query count rides the same
+    // window partitioning (no extra exchange, groups bounded by rank ≤ k)
+    // — see completeTopK for the recompute pathology this removes
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
     val ranked = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .localCheckpoint(eager = true)
+    val rankedBlocks =
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd(ranked).toSeq
 
     // always-k completion (same contract as lshTopK; the IVF-natural coarse
     // pass — re-probing with a bigger nprobe — is subsumed here by the
     // chunked exact residue because probed-list sparsity is a small-corpus /
     // tiny-list phenomenon: at the √N sizing a single list already holds ≫ k)
-    val full = ranked.groupBy($"query_id").agg(count(lit(1)).as("c"))
-      .filter($"c" >= k).select($"query_id")
-    val fullRanked = ranked.join(full, Seq("query_id"), "left_semi")
-    val sparse = v.join(full.select($"query_id".as("id")), Seq("id"), "left_anti")
+    val fullRanked = ranked.filter($"cnt" >= k).drop("cnt")
+    val sparse = v.join(
+        ranked.filter($"cnt" >= k).select($"query_id".as("id")), Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSparse = sparse.count()
     val exact = if (nSparse == 0) Seq.empty[DataFrame] else {
@@ -418,7 +440,8 @@ object Ann {
       System.err.println(s"[graft.ann] ivf always-k top-up: sparse=$nSparse " +
         s"exact_chunks=${exact.size} (corpus never collected)")
     val out = ((fullRanked +: exact).reduce(_ unionByName _)).localCheckpoint(eager = true)
-    exact.flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd)
+    (rankedBlocks ++ exact.flatMap(
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdd))
       .foreach(_.unpersist(blocking = false))
     sparse.unpersist(blocking = false)
     v.unpersist(blocking = false)
