@@ -169,7 +169,14 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      // SHUFFLE_HASH on the fact side: the planner's size estimate put the
+      // whole lineitem table under the broadcast threshold and built a
+      // 600k-row hashed relation single-threaded on the driver (~1s gap,
+      // guide §3.1 "estimates are often badly wrong"); a shuffled hash
+      // join moves both sides as thin projected columns in parallel and is
+      // the strategy a 100-TB lineitem needs anyway (broadcasting a fact
+      // table is a scale-killer).
+      val l = t(s, dir, "lineitem").hint("shuffle_hash")
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"))
@@ -750,12 +757,20 @@ object SparkEntry {
     }),
 
     "embedding_cosine_pairs" -> ((s, dir) => {
+      // The band condition `a < b ≤ a+3` planned as a BroadcastNestedLoopJoin
+      // (non-equi ⇒ O(n²) comparisons, full embedding arrays broadcast —
+      // guide §3: avoid accidental nested-loop joins). Exploding the three
+      // offsets turns it into an exact equi-join on vec_id: identical pair
+      // set (id_b = id_a + d, d ∈ {1,2,3} ⇔ id_a < id_b ≤ id_a + 3, one row
+      // per existing neighbor), hash-joinable at any scale.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
-      e.as("a").join(e.as("b"),
-          col("b.vec_id") > col("a.vec_id") && col("b.vec_id") <= col("a.vec_id") + 3)
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(cosine_sim(col("a.v"), col("b.v")), 4).as("cosine"))
+      val probes = e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+          explode(sequence(lit(1), lit(3))).as("d"))
+        .select(col("id_a"), col("v_a"), (col("id_a") + col("d")).as("id_b"))
+      probes.join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(cosine_sim(col("v_a"), col("v_b")), 4).as("cosine"))
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -883,7 +898,9 @@ object SparkEntry {
         .select(
           lpad(col("a.doc_id").cast("string"), 9, "0").as("url_a"),
           lpad(col("b.doc_id").cast("string"), 9, "0").as("url_b"))
-      cluster.ConnectedComponents.run(edges)
+      // (a, a+1) pairs are distinct with no self-loops by construction —
+      // skip CC's defensive distinct exchange
+      cluster.ConnectedComponents.run(edges, edgesCanonical = true)
         .select(col("url").cast("bigint").as("id"), col("cluster_id").cast("bigint").as("comp"))
     }),
 

@@ -112,7 +112,7 @@ object Blocking {
     else raw0
 
     val withStops = if (cfg.dfStopRatio < 1.0) {
-      val stopArr = dfStopSet(raw, cfg)
+      val stopArr = dfStopSet(raw, cfg, scope)
       // Wipeout guard: a doc whose post-stop feature set would fall below
       // `minTfKeep` keeps its UNstopped features instead (the same fallback
       // contract tfFilteredHashes applies to the TF filter). Without it,
@@ -154,11 +154,24 @@ object Blocking {
    * store-build time so online scoring sees the corpus statistics the
    * store was minted with.
    */
-  private[graft] def dfStopSet(tokenized: DataFrame, cfg: Config = Config()): DataFrame = {
+  private[graft] def dfStopSet(tokenized: DataFrame, cfg: Config = Config(),
+                               scope: Option[graft.ops.CacheScope] = None): DataFrame = {
     val sentinel = Long.MinValue
-    val dfs = tokenized
+    // The (token, df) aggregate is consumed twice — once for the corpus
+    // size (the sentinel row, broadcast below) and once for the stop
+    // filter — and a broadcast build side executes its subtree separately,
+    // so without this persist the full explode + aggregation over every
+    // doc's token set ran TWICE per features() pass (guide §1.2: don't
+    // recompute). The cached table is the distinct-token vocabulary with
+    // two longs per row — bounded by corpus vocabulary, freed with the
+    // caller's scope (or left to the fallback persist's scope-less
+    // lifetime when called standalone, e.g. EntityAssign's one-shot store
+    // build).
+    val dfs0 = tokenized
       .select(explode(concat(col("tokenHashes"), array(lit(sentinel)))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dfs = scope.map(_.cache(dfs0)).getOrElse(
+      dfs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nDocs = dfs.filter(col("t") === sentinel).select(col("df").as("nDocs"))
     dfs
       .crossJoin(broadcast(nDocs))

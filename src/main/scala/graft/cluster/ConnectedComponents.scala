@@ -116,11 +116,12 @@ object ConnectedComponents {
    */
   def run(edges: DataFrame, aCol: String = "url_a", bCol: String = "url_b",
           maxIterations: Int = 50,
-          localEdgeBudget: Long = localFinishEdges): DataFrame = {
+          localEdgeBudget: Long = localFinishEdges,
+          edgesCanonical: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val res = converge(edges, aCol, bCol, maxIterations, localEdgeBudget)
+    val res = converge(edges, aCol, bCol, maxIterations, localEdgeBudget, edgesCanonical)
     val out =
       if (res.rootsIncluded) res.assign.localCheckpoint(eager = true)
       else {
@@ -137,9 +138,20 @@ object ConnectedComponents {
   }
 
   /** Star-contraction loop (with bounded union-find finish) → child → root
-    * assignment; see [[Converged]] for the root-row contract. */
+    * assignment; see [[Converged]] for the root-row contract.
+    *
+    * @param edgesCanonical caller GUARANTEES `edges` is already a distinct
+    *        pair set with no self-loops (the pair-generation paths all end
+    *        in a canonical-order dropDuplicates, and scoring only filters) —
+    *        the defensive `filter + distinct` here is then a full extra
+    *        exchange of the edge set for zero removed rows (guide §2.4:
+    *        "a distinct on data that is already unique"), skipped. The
+    *        algorithm itself never requires input uniqueness (the first
+    *        star round's distinct re-canonicalizes anyway); the flag only
+    *        drops redundant work, never changes the result. */
   private def converge(edges: DataFrame, aCol: String, bCol: String,
-                       maxIterations: Int, localEdgeBudget: Long): Converged = {
+                       maxIterations: Int, localEdgeBudget: Long,
+                       edgesCanonical: Boolean = false): Converged = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -150,9 +162,9 @@ object ConnectedComponents {
     // onto 16 tasks at 400k docs. Only the in-loop checkpoints (sized from
     // the shrinking edge count) use the small fan-in.
     val tEdges0 = System.nanoTime()
-    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter($"u" =!= $"v")
-      .distinct()
+    val renamed = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val e0 = (if (edgesCanonical) renamed
+              else renamed.filter($"u" =!= $"v").distinct())
       .localCheckpoint(eager = true)
 
     val initialEdges = e0.count() // cheap: counts the checkpoint blocks
@@ -549,8 +561,10 @@ object ConnectedComponents {
    * accumulates one edge-set worth of storage per invocation.
    */
   def assignAll(nodes: DataFrame, edges: DataFrame, urlCol: String = "url",
-                localEdgeBudget: Long = localFinishEdges): DataFrame =
-    assignAllKeyed(nodes.select(col(urlCol).as("url")), edges, "url", localEdgeBudget)
+                localEdgeBudget: Long = localFinishEdges,
+                edgesCanonical: Boolean = false): DataFrame =
+    assignAllKeyed(nodes.select(col(urlCol).as("url")), edges, "url",
+      localEdgeBudget, edgesCanonical)
 
   /** [[assignAll]] preserving every column of `nodes`: clusters are closed
     * over `nodes(idCol)` (matched against the edge endpoints) and appended
@@ -559,8 +573,10 @@ object ConnectedComponents {
     * to relabel the hash clusters back to urls WITHOUT a second join
     * against a dictionary. */
   def assignAllKeyed(nodes: DataFrame, edges: DataFrame, idCol: String,
-                     localEdgeBudget: Long = localFinishEdges): DataFrame = {
-    val res = converge(edges, "url_a", "url_b", maxIterations = 50, localEdgeBudget)
+                     localEdgeBudget: Long = localFinishEdges,
+                     edgesCanonical: Boolean = false): DataFrame = {
+    val res = converge(edges, "url_a", "url_b", maxIterations = 50,
+      localEdgeBudget, edgesCanonical)
     res.lookup match {
       case Some(look) =>
         // local-finish path: label the universe with the broadcast map — a

@@ -177,6 +177,15 @@ object Dedup {
     // sets) verifies to jaccard < 1.0. Skip banding/pair-gen/verify
     // entirely: "exact-set dedup through the MinHash API" should plan as
     // exact dedup, not as LSH whose every candidate is rejected.
+    //
+    // No pair dedup across (or after) the tiers: tier 1 is internally
+    // unique (setkey groups are disjoint; C(n,2)/star emit each unordered
+    // pair once) and tier-2 pairs are deduped thin BEFORE the verify join;
+    // the tiers cannot overlap (tier 1 pairs have jaccard 1.0 between
+    // same-set docs, tier 2 pairs connect reps of DISTINCT sets, and rep
+    // id ↔ set is 1:1), so the old post-union dropDuplicates was a full
+    // extra exchange of the combined pair set for zero removed rows
+    // (guide §2.4: distinct on already-unique data).
     val pairs = if (cfg.verifyJaccard >= 1.0) exactPairs else {
       // first(hashes) is deterministic here: every row in a setkey group
       // carries the identical array.
@@ -201,8 +210,7 @@ object Dedup {
 
     // materialize the (thin) pair output, then free the wide caches now
     // rather than at session end (the bench runs ~25 operators in one JVM)
-    val out = pairs.dropDuplicates("id_a", "id_b")
-      .localCheckpoint(eager = true)
+    val out = pairs.localCheckpoint(eager = true)
     scope.close()
     out
   }
@@ -215,8 +223,11 @@ object Dedup {
                            cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val edges = minhashNearDupPairs(df, idCol, textCol, cfg)
       .select(col("id_a").as("url_a"), col("id_b").as("url_b"))
+    // pairs are canonical (id_a < id_b) and unique by construction — skip
+    // CC's defensive distinct over the edge set
     ConnectedComponents.assignAll(
-        df.select(col(idCol).cast("string").as("url")), edges)
+        df.select(col(idCol).cast("string").as("url")), edges,
+        edgesCanonical = true)
       .select(col("url").as(idCol), col("cluster_id").as("group_id"))
   }
 
@@ -270,7 +281,14 @@ object Dedup {
         oversizedStar = true)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("hamming"))
 
-    // tier 2: banding over distinct fingerprints, rep-level pairs
+    // tier 2: banding over distinct fingerprints, rep-level pairs. Dedup
+    // the multiply-banded pair ONCE here (a near fp-pair shares up to
+    // C(segments-d, choose) band keys; every duplicate row carries the
+    // identical fps, so first-row-wins is deterministic) — the tiers
+    // themselves cannot overlap (tier 1 pairs share one fingerprint,
+    // tier 2 connects reps of DISTINCT fingerprints, rep id ↔ fp is 1:1),
+    // so the old post-union dropDuplicates re-shuffled the combined set
+    // for zero removed rows (guide §2.4).
     val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("id"))
     val blocks = reps.select(
       explode(simhash_band_keys(col("fp"), cfg.segments, cfg.choose)).as("key"),
@@ -279,10 +297,10 @@ object Dedup {
         cfg.purgeLimit, cfg.snWindow, p => p("fp"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming_dist64(col("a.fp"), col("b.fp")).as("hamming"))
-      .filter(col("hamming").between(1, cfg.maxHamming))
+      .filter(col("hamming").between(1, cfg.maxHamming)) // verify pre-shuffle
+      .dropDuplicates("id_a", "id_b")
 
     val out = exactPairs.unionByName(nearPairs)
-      .dropDuplicates("id_a", "id_b")
       .localCheckpoint(eager = true)
     scope.close()
     out

@@ -90,18 +90,25 @@ object ErPipeline {
     // cache (Blocking.features), which genuinely consumes the arrays twice.
     val featsU = scope.cache(Blocking.features(pages, cfg.blocking, Some(scope))
       .select(col("url"), col("mention"), col("sig")))
+    // edgesCanonical: candidatePairs ends in a canonical-order
+    // dropDuplicates, attachFeatures joins one feature row per url, and
+    // scoring only filters — the edge set reaches CC already distinct with
+    // no self-loops, so CC's defensive distinct (a full extra exchange of
+    // the edge set, guide §2.4) is skipped.
     val out = if (cfg.hashIds) {
       val feats = hashKeyed(featsU)
       val blocks = Blocking.blockKeys(feats, cfg.blocking)
       val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
       val edges = PairScorer.score(Blocking.attachFeatures(pairs, feats), cfg.scorer)
       val nodes = pages.toDF().select(col("url"), id128(col("url")).as("nid"))
-      relabelMinUrl(ConnectedComponents.assignAllKeyed(nodes, edges, "nid"))
+      relabelMinUrl(ConnectedComponents.assignAllKeyed(nodes, edges, "nid",
+        edgesCanonical = true))
     } else {
       val blocks = Blocking.blockKeys(featsU, cfg.blocking)
       val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
       val edges = PairScorer.score(Blocking.attachFeatures(pairs, featsU), cfg.scorer)
-      ConnectedComponents.assignAll(pages.toDF().select("url"), edges)
+      ConnectedComponents.assignAll(pages.toDF().select("url"), edges,
+        edgesCanonical = true)
     }
     scope.close()
     out
@@ -146,10 +153,14 @@ object ErPipeline {
     Lineage.writeCounters(s"$workDir/edges", "edges", edges)
 
     val clusters = Checkpoints.stage(spark, s"$workDir/clusters", "clusters", fp) {
+      // edgesCanonical: same argument as [[run]] — the pairs stage ends in
+      // a canonical dropDuplicates and scoring only filters
       if (cfg.hashIds) {
         val nodes = pagesT.select(col("url"), id128(col("url")).as("nid"))
-        relabelMinUrl(ConnectedComponents.assignAllKeyed(nodes, edges, "nid"))
-      } else ConnectedComponents.assignAll(pagesT.select("url"), edges)
+        relabelMinUrl(ConnectedComponents.assignAllKeyed(nodes, edges, "nid",
+          edgesCanonical = true))
+      } else ConnectedComponents.assignAll(pagesT.select("url"), edges,
+        edgesCanonical = true)
     }
     Lineage.writeCounters(s"$workDir/clusters", "clusters", clusters)
     clusters
