@@ -424,13 +424,22 @@ object Dedup {
       if (touching.isDefined) keyStats.filter($"nTouch" >= 1L) else keyStats
     val withN = rows.join(liveStats.select($"key", $"n", $"pmin"), "key")
 
+    // C(n,2) via TWO stock generators (posexplode, then explode of the
+    // tail slice) instead of the custom PairCombinations generator: the
+    // custom Generator is CodegenFallback, which (a) evaluates row-at-a-time
+    // through interpreted eval and (b) breaks the WholeStageCodegen span
+    // around the hottest stream in every near-dup/blocking operator (the
+    // pre-dedup pair stream — 4M+ rows at bench sf0.1, ~quadratic in block
+    // size everywhere). explode/posexplode are ExplodeBase and stay inside
+    // codegen; the slice reads the grouped members array in place (no
+    // nested C(n,2) array is ever materialized — peak per outer row is the
+    // O(n) tail slice, same bound as the generator's O(n) element table).
     val smallAll = withN
       .filter($"n".between(2, cap))
       .groupBy($"key").agg(collect_list($"p").as("members"))
-      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.PairCombinations(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"members")))
-        .as(Seq("x", "y")))
+      .select($"members", posexplode($"members").as(Seq("i", "x")))
+      .select($"x",
+        explode(slice($"members", $"i" + lit(2), size($"members") - $"i" - 1)).as("y"))
     // delta mode: full C(n,2) inside the (≤ cap²/2-bounded) block, filtered
     // to touching pairs — identical pair semantics to the offline policy
     // restricted to the batch

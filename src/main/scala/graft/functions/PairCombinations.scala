@@ -45,12 +45,22 @@ case class PairCombinations(child: Expression)
     else {
       val n = arr.numElements()
       val et = elementType
+      // Hoist element extraction: ArrayData.get allocates a fresh view
+      // (UnsafeRow wrapper for struct elements) per call, and the pair loop
+      // visits each element n-1 times — C(n,2) block pairs paid O(n²)
+      // extractions. One upfront pass makes it O(n) allocations; the views
+      // are stable (each wraps its own offset into the array buffer), so
+      // sharing them across emitted rows is safe — the same sharing the
+      // per-call form already relied on within a row.
+      val elems = new Array[Any](n)
+      var e = 0
+      while (e < n) { elems(e) = arr.get(e, et); e += 1 }
       new Iterator[InternalRow] {
         private var i = 0
         private var j = 1
         override def hasNext: Boolean = n >= 2 && i < n - 1
         override def next(): InternalRow = {
-          val row = InternalRow(arr.get(i, et), arr.get(j, et))
+          val row = InternalRow(elems(i), elems(j))
           j += 1
           if (j >= n) { i += 1; j = i + 1 }
           row

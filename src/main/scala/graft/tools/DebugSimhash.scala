@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Scratch diagnostics for the simhash tier-2 candidate volume at a given
+  * SF dir (measure-first: is the 2s job pair volume or overhead?). */
+object DebugSimhash {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.ops.Sessions.builder(32, "graft-debug-simhash")
+      .config("spark.sql.shuffle.partitions", "64")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d0 = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val d = d0.unionByName(d0.withColumn("doc_id", col("doc_id") + 1000000))
+    val fp = d.select(col("doc_id").cast("string").as("id"),
+      simhash64(token_ngram_hashes(split(normalize_text(col("text")), " "), 1, 42L), 42L).as("fp"))
+    val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("id"))
+    println("distinct fps = " + reps.count())
+    val blocks = reps.select(
+      explode(simhash_band_keys(col("fp"), 8, 2)).as("key"), col("id"), col("fp"))
+    val sizes = blocks.groupBy("key").count()
+    sizes.agg(count(lit(1)).as("n_keys"), max("count").as("max_block"),
+      sum(expr("count * (count - 1) / 2")).as("naive_pairs"),
+      sum(expr("CASE WHEN count <= 1024 THEN count * (count - 1) / 2 ELSE 0 END")).as("small_pairs"),
+      sum(expr("CASE WHEN count > 1024 AND count <= 1000000 THEN count * 8 ELSE 0 END")).as("sn_pairs_approx"))
+      .show(false)
+    spark.stop()
+  }
+}
