@@ -173,12 +173,21 @@ object Blocking {
     val dfs = scope.map(_.cache(dfs0)).getOrElse(
       dfs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nDocs = dfs.filter(col("t") === sentinel).select(col("df").as("nDocs"))
+    // Top-dfStopMax-by-df IN ROW: the candidate set is provably ≤
+    // avgTokensPerDoc / dfStopRatio entries at ANY corpus size (see doc
+    // above), so collecting (df, t) structs into one row is bounded, and
+    // the global orderBy + limit the old shape used — a TakeOrdered
+    // exchange plus a second single-partition aggregate, two extra AQE
+    // stage rounds per features() pass — collapses into expression work.
+    // Ties at the dfStopMax boundary become deterministic ((df, t) sort;
+    // the old orderBy(df).limit() was tie-nondeterministic there).
     dfs
       .crossJoin(broadcast(nDocs))
       .filter(col("t") =!= sentinel && col("df") > col("nDocs") * cfg.dfStopRatio)
-      .orderBy(col("df").desc)
-      .limit(cfg.dfStopMax)
-      .agg(sort_array(collect_list(col("t"))).as("stops")) // one row, ≤ dfStopMax longs
+      .agg(sort_array(transform(
+        slice(reverse(array_sort(collect_list(struct(col("df"), col("t"))))),
+          1, cfg.dfStopMax),
+        e => e.getField("t"))).as("stops")) // one row, ≤ dfStopMax longs
   }
 
   /**

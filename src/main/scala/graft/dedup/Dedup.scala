@@ -164,9 +164,11 @@ object Dedup {
 
     // tier 1: identical token sets — star pairs beyond maxBlock (O(n) per
     // family, direct pairing to the family rep; closure-equivalent)
-    val exactPairs = blockPairs(feats.select(col("setkey").as("key"), col("id")),
+    val (exactPairs0, setStats) = blockPairsWithStats(
+        feats.select(col("setkey").as("key"), col("id")),
         struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"),
         oversizedStar = true)
+    val exactPairs = exactPairs0
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
 
     // tier 2: banding over distinct sets, rep-level pairs, exact verify.
@@ -187,10 +189,17 @@ object Dedup {
     // extra exchange of the combined pair set for zero removed rows
     // (guide §2.4: distinct on already-unique data).
     val pairs = if (cfg.verifyJaccard >= 1.0) exactPairs else {
-      // first(hashes) is deterministic here: every row in a setkey group
-      // carries the identical array.
-      val reps = scope.cache(feats.groupBy(col("setkey"))
-        .agg(min(col("id")).as("id"), first(col("hashes")).as("hashes"))
+      // reps from tier 1's per-key stats (min(struct(id)).id IS min(id);
+      // one row per distinct setkey incl. singletons): ReuseExchange runs
+      // the shared aggregate once for both tiers, where the old second
+      // groupBy(setkey) — with a first(hashes) dragging the ~300-long hash
+      // arrays through its own exchange — re-aggregated the same keys. The
+      // rep's hash set is re-attached by an equi-join against the cached
+      // feature table (rows of a setkey group carry identical arrays, so
+      // any matching row is THE rep's array).
+      val reps = scope.cache(setStats
+        .select(col("key").as("setkey"), col("pmin.id").as("id"))
+        .join(feats.select(col("setkey"), col("id"), col("hashes")), Seq("setkey", "id"))
         .withColumn("sig", minhash_signature(col("hashes"), cfg.numHashes, cfg.seed)))
       val blocks = reps.select(
         explode(minhash_band_keys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("key"),
@@ -276,9 +285,11 @@ object Dedup {
           cfg.seed).as("fp")))
 
     // tier 1: identical fingerprints (hamming 0); star pairs beyond maxBlock
-    val exactPairs = blockPairs(fp.select(col("fp").as("key"), col("id")),
+    val (exactPairs0, fpStats) = blockPairsWithStats(
+        fp.select(col("fp").as("key"), col("id")),
         struct(col("id")), cfg.maxBlock, Int.MaxValue, cfg.snWindow, p => p("id"),
         oversizedStar = true)
+    val exactPairs = exactPairs0
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("hamming"))
 
     // tier 2: banding over distinct fingerprints, rep-level pairs. Dedup
@@ -289,7 +300,11 @@ object Dedup {
     // tier 2 connects reps of DISTINCT fingerprints, rep id ↔ fp is 1:1),
     // so the old post-union dropDuplicates re-shuffled the combined set
     // for zero removed rows (guide §2.4).
-    val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("id"))
+    // reps from tier 1's per-key stats: min(struct(id)).id IS min(id), the
+    // stats frame has one row per distinct fp (singletons included), and
+    // sharing the aggregate subtree lets ReuseExchange run it once for
+    // both tiers instead of a second groupBy over the fingerprints
+    val reps = fpStats.select(col("key").as("fp"), col("pmin.id").as("id"))
     val blocks = reps.select(
       explode(simhash_band_keys(col("fp"), cfg.segments, cfg.choose)).as("key"),
       col("id"), col("fp"))
@@ -401,7 +416,24 @@ object Dedup {
       purgeLimit: Int = 1000000, snWindow: Int = 8,
       sortKey: Column => Column = p => p.getField("id"),
       oversizedStar: Boolean = false,
-      touching: Option[Column => Column] = None): DataFrame = {
+      touching: Option[Column => Column] = None): DataFrame =
+    blockPairsWithStats(blocks, payload, cap, purgeLimit, snWindow, sortKey,
+      oversizedStar, touching)._1
+
+  /** [[blockPairs]] also returning its per-key stats table
+    * `(key, n, pmin [, nTouch])` — one row per DISTINCT key (singletons
+    * included). Callers that need per-key representatives anyway (the
+    * two-tier near-dup operators: tier 2 keys on `min id per tier-1 key`)
+    * consume THIS frame instead of running a second groupBy over the same
+    * keys: both consumers then share one physical aggregate subtree and
+    * Spark's ReuseExchange executes it once — one full exchange of the
+    * block rows saved per operator (guide §2.4: two operations keyed the
+    * same way share one exchange). */
+  private[graft] def blockPairsWithStats(blocks: DataFrame, payload: Column, cap: Int,
+      purgeLimit: Int = 1000000, snWindow: Int = 8,
+      sortKey: Column => Column = p => p.getField("id"),
+      oversizedStar: Boolean = false,
+      touching: Option[Column => Column] = None): (DataFrame, DataFrame) = {
     val spark = blocks.sparkSession
     import spark.implicits._
 
@@ -479,10 +511,11 @@ object Dedup {
       }
     }
 
-    smallPairs.unionByName(hotPairs)
+    val pairs = smallPairs.unionByName(hotPairs)
       .select(
         when($"x.id" < $"y.id", $"x").otherwise($"y").as("a"),
         when($"x.id" < $"y.id", $"y").otherwise($"x").as("b"))
+    (pairs, keyStats)
   }
 
   /**

@@ -26,6 +26,18 @@ object DebugSimhash {
       sum(expr("CASE WHEN count <= 1024 THEN count * (count - 1) / 2 ELSE 0 END")).as("small_pairs"),
       sum(expr("CASE WHEN count > 1024 AND count <= 1000000 THEN count * 8 ELSE 0 END")).as("sn_pairs_approx"))
       .show(false)
+
+    // does the tier-1/tier-2 shared stats aggregate reuse its exchange?
+    val (exactPairs0, fpStats) = graft.dedup.Dedup.blockPairsWithStats(
+      fp.select(col("fp").as("key"), col("id")),
+      struct(col("id")), 1024, Int.MaxValue, 8, p => p("id"), oversizedStar = true)
+    val t1 = exactPairs0.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val reps2 = fpStats.select(col("key").as("fp"), col("pmin.id").as("id"))
+    val t2 = reps2.select(col("id"))
+    val u = t1.select(col("id_a").as("id")).unionByName(t2)
+    println("union count = " + u.count())
+    val planStr = u.queryExecution.executedPlan.toString
+    println("ReusedExchange occurrences: " + "ReusedExchange".r.findAllIn(planStr).size)
     spark.stop()
   }
 }
