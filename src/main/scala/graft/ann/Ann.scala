@@ -460,10 +460,15 @@ object Ann {
         cfg.purgeLimit, cfg.snWindow, p => p("id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // bare build sides → one broadcast for both vector-attach joins
+    // (ReuseExchange; see Blocking.attachFeatures)
+    val va = v.as("lsh_a")
+    val vb = v.as("lsh_b")
     val pairs = thin
-      .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine_sim(col("v_a"), col("v_b")).as("cosine"))
+      .join(va, col("id_a") === col("lsh_a.id"))
+      .join(vb, col("id_b") === col("lsh_b.id"))
+      .select(col("id_a"), col("id_b"),
+        cosine_sim(col("lsh_a.vec"), col("lsh_b.vec")).as("cosine"))
     // symmetrize, rank per query id
     val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
       .unionAll(pairs.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))

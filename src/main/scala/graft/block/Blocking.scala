@@ -281,13 +281,23 @@ object Blocking {
   /**
    * Attach both sides' scorer payloads to thin candidate pairs (one join
    * per side; Catalyst broadcasts the feature table when it fits).
+   *
+   * The per-side column aliases are applied ABOVE each join, not inside
+   * the build side: aliasing below made the two broadcast subtrees
+   * canonically different, so the same feature table was collected and
+   * hashed twice per attach — with bare build sides, ReuseExchange ships
+   * one broadcast for both joins (guide §2.4). Shuffle-join plans at
+   * scale are unaffected (aliases are free either way).
    */
   def attachFeatures(pairs: DataFrame, features: DataFrame): DataFrame = {
-    val fa = features.select(col("url").as("url_a"),
-      col("mention").as("mention_a"), col("sig").as("sig_a"))
-    val fb = features.select(col("url").as("url_b"),
-      col("mention").as("mention_b"), col("sig").as("sig_b"))
-    pairs.join(fa, "url_a").join(fb, "url_b")
+    val fa = features.as("gf_a")
+    val fb = features.as("gf_b")
+    pairs
+      .join(fa, col("url_a") === col("gf_a.url"))
+      .join(fb, col("url_b") === col("gf_b.url"))
+      .select(pairs.columns.map(c => col(s"`$c`")) ++ Seq(
+        col("gf_a.mention").as("mention_a"), col("gf_a.sig").as("sig_a"),
+        col("gf_b.mention").as("mention_b"), col("gf_b.sig").as("sig_b")): _*)
   }
 
   /** Block-size histogram for lineage / skew monitoring (A5 analog). */

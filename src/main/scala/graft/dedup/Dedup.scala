@@ -208,10 +208,16 @@ object Dedup {
           cfg.purgeLimit, cfg.snWindow, p => p("id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      val ha = reps.select(col("id").as("id_a"), col("hashes").as("h_a"))
-      val hb = reps.select(col("id").as("id_b"), col("hashes").as("h_b"))
-      val nearPairs = thin.join(ha, "id_a").join(hb, "id_b")
-        .withColumn("jaccard", jaccard_sorted(col("h_a"), col("h_b")))
+      // bare build sides (aliases applied above the joins): the two
+      // verify joins then broadcast ONE copy of the cached rep table via
+      // ReuseExchange instead of collecting and hashing the ~300-long
+      // hash arrays twice (see Blocking.attachFeatures)
+      val ha = reps.as("mh_a")
+      val hb = reps.as("mh_b")
+      val nearPairs = thin
+        .join(ha, col("id_a") === col("mh_a.id"))
+        .join(hb, col("id_b") === col("mh_b.id"))
+        .withColumn("jaccard", jaccard_sorted(col("mh_a.hashes"), col("mh_b.hashes")))
         .filter(col("jaccard") >= cfg.verifyJaccard) // distinct sets ⇒ jaccard < 1.0
         .select("id_a", "id_b", "jaccard")
       exactPairs.unionByName(nearPairs)
@@ -362,10 +368,14 @@ object Dedup {
         cfg.purgeLimit, cfg.snWindow, p => p("id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // bare build sides → one broadcast for both vector-attach joins
+    // (ReuseExchange; see Blocking.attachFeatures)
+    val va = v.as("env_a")
+    val vb = v.as("env_b")
     val out = thin
-      .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
-      .withColumn("cosine", cosine_sim(col("v_a"), col("v_b")))
+      .join(va, col("id_a") === col("env_a.id"))
+      .join(vb, col("id_b") === col("env_b.id"))
+      .withColumn("cosine", cosine_sim(col("env_a.vec"), col("env_b.vec")))
       .filter(col("cosine") >= cfg.minCosine)
       .select("id_a", "id_b", "cosine")
       .localCheckpoint(eager = true)

@@ -87,8 +87,15 @@ object PairScorer {
         col("jaro") * cfg.weights.jaro +
         col("lev_sim") * cfg.weights.lev +
         col("jaccard") * cfg.weights.jaccard)
-      // F3: edge threshold + conjunctive content floor (see Config scaladoc)
-      .filter(col("score") >= cfg.threshold && col("jaccard") >= cfg.jaccardFloor)
+      // F3: conjunctive content floor FIRST, then the edge threshold.
+      // Codegen evaluates And left-to-right and only computes the
+      // projected columns for surviving rows, so leading with the cheap
+      // minhash-overlap test (one 48-long array pass) short-circuits the
+      // O(|m|²) Levenshtein + Jaro kernels for every pair the floor
+      // rejects — the vast majority of the candidate stream (guide §1.2
+      // per-task work: make the code inside the stage fast). Same
+      // predicate, same edge set.
+      .filter(col("jaccard") >= cfg.jaccardFloor && col("score") >= cfg.threshold)
       .select("url_a", "url_b", "jaro", "lev_sim", "jaccard", "score")
   }
 
