@@ -476,8 +476,22 @@ object Dedup {
     // codegen; the slice reads the grouped members array in place (no
     // nested C(n,2) array is ever materialized — peak per outer row is the
     // O(n) tail slice, same bound as the generator's O(n) element table).
+    // EXPLICIT-N repartition before the group assembly: the C(n,2) stream
+    // this stage generates is quadratic in block size, but AQE sizes the
+    // collect_list exchange's reduce side by its INPUT bytes (a few MB of
+    // member arrays) and coalesced the entire pair-generation + verify
+    // stage onto 2 tasks at bench sf0.1 — 1.4 s of a 3.2 s query on one
+    // core while 31 sat idle (guide §2.5: AQE cannot see explode
+    // amplification). An explicit partition count is exempt from AQE
+    // coalescing, and hash(key) at that count satisfies the groupBy's
+    // distribution, so this MOVES the aggregate's exchange rather than
+    // adding one (same shuffled bytes, pinned fan-out). N comes from the
+    // session's shuffle-partition conf — the scale knob the deployment
+    // already sizes — never a local constant.
+    val nParts = blocks.sparkSession.sessionState.conf.numShufflePartitions
     val smallAll = withN
       .filter($"n".between(2, cap))
+      .repartition(nParts, $"key")
       .groupBy($"key").agg(collect_list($"p").as("members"))
       .select($"members", posexplode($"members").as(Seq("i", "x")))
       .select($"x",

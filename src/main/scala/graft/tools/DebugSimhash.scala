@@ -27,6 +27,17 @@ object DebugSimhash {
       sum(expr("CASE WHEN count > 1024 AND count <= 1000000 THEN count * 8 ELSE 0 END")).as("sn_pairs_approx"))
       .show(false)
 
+    // tier-2-shaped blockPairs: where does the C(n,2) stream's parallelism
+    // come from in the FINAL adaptive plan?
+    val nearPairs = graft.dedup.Dedup.blockPairs(blocks, struct(col("id"), col("fp")),
+        1024, 1000000, 8, p => p("fp"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming_dist64(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming").between(1, 6))
+      .dropDuplicates("id_a", "id_b")
+    println("nearPairs count = " + nearPairs.count())
+    println(nearPairs.queryExecution.executedPlan.toString)
+
     // does the tier-1/tier-2 shared stats aggregate reuse its exchange?
     val (exactPairs0, fpStats) = graft.dedup.Dedup.blockPairsWithStats(
       fp.select(col("fp").as("key"), col("id")),
