@@ -244,10 +244,14 @@ object Blocking {
     val tiebreak: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (blocks.schema("url").dataType == org.apache.spark.sql.types.StringType) id128
       else identity
+    // mention rides as the SN ROW sort key, never in the payload: the
+    // payload is copied O(n) per member through the C(n,2) stream and the
+    // SN lead arrays, and only the ids are ever emitted (see
+    // Dedup.blockPairsWithStats rowSortKey doc).
     graft.dedup.Dedup.blockPairs(
         blocks.select($"key", $"url".as("id"), $"mention"),
-        struct($"id", $"mention"), cfg.maxBlock, cfg.purgeLimit, cfg.snWindow,
-        p => struct(p.getField("mention"), tiebreak(p.getField("id"))))
+        struct($"id"), cfg.maxBlock, cfg.purgeLimit, cfg.snWindow,
+        rowSortKey = Some(struct($"mention", tiebreak($"id"))))
       .select($"a.id".as("url_a"), $"b.id".as("url_b"))
       .dropDuplicates("url_a", "url_b") // A2 analog: dedup multiply-blocked pairs
   }
@@ -269,11 +273,13 @@ object Blocking {
     val tiebreak: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (blocks.schema("url").dataType == org.apache.spark.sql.types.StringType) id128
       else identity
+    // same thin-payload discipline as candidatePairs: mention is row-level
+    // sort metadata; only (id, fresh) ride the pair stream
     graft.dedup.Dedup.blockPairs(
         blocks.select($"key", $"url".as("id"), $"mention", $"fresh"),
-        struct($"id", $"mention", $"fresh"), cfg.maxBlock, cfg.purgeLimit, cfg.snWindow,
-        p => struct(p.getField("mention"), tiebreak(p.getField("id"))),
-        touching = Some(p => p.getField("fresh")))
+        struct($"id", $"fresh"), cfg.maxBlock, cfg.purgeLimit, cfg.snWindow,
+        touching = Some(p => p.getField("fresh")),
+        rowSortKey = Some(struct($"mention", tiebreak($"id"))))
       .select($"a.id".as("url_a"), $"b.id".as("url_b"))
       .dropDuplicates("url_a", "url_b")
   }

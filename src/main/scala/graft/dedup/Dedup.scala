@@ -426,9 +426,10 @@ object Dedup {
       purgeLimit: Int = 1000000, snWindow: Int = 8,
       sortKey: Column => Column = p => p.getField("id"),
       oversizedStar: Boolean = false,
-      touching: Option[Column => Column] = None): DataFrame =
+      touching: Option[Column => Column] = None,
+      rowSortKey: Option[Column] = None): DataFrame =
     blockPairsWithStats(blocks, payload, cap, purgeLimit, snWindow, sortKey,
-      oversizedStar, touching)._1
+      oversizedStar, touching, rowSortKey)._1
 
   /** [[blockPairs]] also returning its per-key stats table
     * `(key, n, pmin [, nTouch])` — one row per DISTINCT key (singletons
@@ -439,11 +440,23 @@ object Dedup {
     * Spark's ReuseExchange executes it once — one full exchange of the
     * block rows saved per operator (guide §2.4: two operations keyed the
     * same way share one exchange). */
+  /** @param rowSortKey SN-branch neighborhood order as a column over the
+    *        BLOCK ROW instead of over the payload. Heavy sort-only columns
+    *        (the ER mention string) must not ride the payload: the payload
+    *        is copied O(n) times per member through the C(n,2) stream
+    *        (collect_list + posexplode + tail slice) and ±snWindow times
+    *        through the SN lead arrays, so a 40-60 B mention on a 16 B id
+    *        multiplied the hottest stream's bytes ~4× for a column only the
+    *        window ORDER ever reads (guide §2.3: shuffle keys and metadata,
+    *        not payloads — the same rule applies to generated streams).
+    *        When set, it overrides `sortKey` and is dropped before any pair
+    *        is emitted. */
   private[graft] def blockPairsWithStats(blocks: DataFrame, payload: Column, cap: Int,
       purgeLimit: Int = 1000000, snWindow: Int = 8,
       sortKey: Column => Column = p => p.getField("id"),
       oversizedStar: Boolean = false,
-      touching: Option[Column => Column] = None): (DataFrame, DataFrame) = {
+      touching: Option[Column => Column] = None,
+      rowSortKey: Option[Column] = None): (DataFrame, DataFrame) = {
     val spark = blocks.sparkSession
     import spark.implicits._
 
@@ -453,7 +466,8 @@ object Dedup {
     // silently grouped every null-key row into a single giant pseudo-block
     // and paired them, which was never intended and cannot scale. Callers
     // whose key is meaningfully nullable must map null to a sentinel first.
-    val rows = blocks.filter($"key".isNotNull).select($"key", payload.as("p"))
+    val rows = blocks.filter($"key".isNotNull).select(
+      Seq($"key", payload.as("p")) ++ rowSortKey.map(_.as("s")): _*)
     // thin per-key stats, map-side combined; min(p) is the star center
     // (struct ordering is field-lexicographic and `id` is the first field,
     // so it is the block's min id — deterministic under retries)
@@ -508,8 +522,9 @@ object Dedup {
         .filter($"x.id" =!= $"y.id")
       touching.fold(star)(t => star.filter(t($"x") || t($"y")))
     } else {
+      val ord = rowSortKey.map(_ => $"s").getOrElse(sortKey($"p"))
       val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy($"key").orderBy(sortKey($"p"), $"p.id")
+        .partitionBy($"key").orderBy(ord, $"p.id")
       val hotRows = withN.filter($"n" > cap && $"n" <= purgeLimit)
       touching match {
         case None =>
