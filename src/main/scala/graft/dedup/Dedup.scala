@@ -490,23 +490,30 @@ object Dedup {
     // codegen; the slice reads the grouped members array in place (no
     // nested C(n,2) array is ever materialized — peak per outer row is the
     // O(n) tail slice, same bound as the generator's O(n) element table).
-    // EXPLICIT-N repartition before the group assembly: the C(n,2) stream
-    // this stage generates is quadratic in block size, but AQE sizes the
-    // collect_list exchange's reduce side by its INPUT bytes (a few MB of
-    // member arrays) and coalesced the entire pair-generation + verify
-    // stage onto 2 tasks at bench sf0.1 — 1.4 s of a 3.2 s query on one
-    // core while 31 sat idle (guide §2.5: AQE cannot see explode
-    // amplification). An explicit partition count is exempt from AQE
-    // coalescing, and hash(key) at that count satisfies the groupBy's
-    // distribution, so this MOVES the aggregate's exchange rather than
-    // adding one (same shuffled bytes, pinned fan-out). N comes from the
+    // EXPLICIT-N round-robin repartition between the group assembly and the
+    // pair explode: the C(n,2) stream this stage generates is quadratic in
+    // block size, but AQE sizes every ENSURE_REQUIREMENTS exchange by its
+    // INPUT bytes (a few MB of member arrays) and coalesced the entire
+    // pair-generation + verify stage onto 2 tasks at bench sf0.1 — 1.4 s
+    // of a 3.2 s query on one core while 31 sat idle (guide §2.5: AQE
+    // cannot see explode amplification). A keyed repartition BEFORE the
+    // aggregate was tried first and is not robust: when AQE's replanning
+    // broadcasts the block-rows side of the stats join, the streamed stats
+    // side already carries hash(key) partitioning and the pinned keyed
+    // exchange is elided, putting the explode back on the coalesced read.
+    // RoundRobinPartitioning with an explicit N can never be satisfied by
+    // an existing distribution, so it survives every plan shape; it also
+    // spreads blocks of very different sizes evenly (the same lever §2.5
+    // uses against skew), at the cost of one exchange of the member arrays
+    // — the same bytes the block rows already paid for one exchange, and
+    // two orders below the stream it parallelizes. N comes from the
     // session's shuffle-partition conf — the scale knob the deployment
     // already sizes — never a local constant.
     val nParts = blocks.sparkSession.sessionState.conf.numShufflePartitions
     val smallAll = withN
       .filter($"n".between(2, cap))
-      .repartition(nParts, $"key")
       .groupBy($"key").agg(collect_list($"p").as("members"))
+      .repartition(nParts)
       .select($"members", posexplode($"members").as(Seq("i", "x")))
       .select($"x",
         explode(slice($"members", $"i" + lit(2), size($"members") - $"i" - 1)).as("y"))

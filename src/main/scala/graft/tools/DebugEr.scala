@@ -45,11 +45,23 @@ object DebugEr {
       sum(when(sc.accept, 1L).otherwise(0L)).as("edges"))
     agg.show(false)
 
+    // pair-generation subtree costs (no dedup / dedup)
+    val tiebreak: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
+    val rawPairs = graft.dedup.Dedup.blockPairs(
+      blocks.select(col("key"), col("url").as("id"), col("mention")),
+      struct(col("id")), cfg.blocking.maxBlock, cfg.blocking.purgeLimit,
+      cfg.blocking.snWindow,
+      rowSortKey = Some(struct(col("mention"), tiebreak(col("id")))))
     def time(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[debug-er] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($r)")
     }
+    time("raw pair gen (no dedup)") { rawPairs.count() }
+    time("raw pair gen again") { rawPairs.count() }
+    time("gen + dedup") {
+      rawPairs.select(col("a.id").as("url_a"), col("b.id").as("url_b"))
+        .dropDuplicates("url_a", "url_b").count() }
     // components, each from the persisted thin pair set (pairs.persist above)
     time("pairs count (cached)") { pairs.count() }
     time("attach only") {

@@ -27,28 +27,30 @@ object DebugSimhash {
       sum(expr("CASE WHEN count > 1024 AND count <= 1000000 THEN count * 8 ELSE 0 END")).as("sn_pairs_approx"))
       .show(false)
 
-    // tier-2-shaped blockPairs: where does the C(n,2) stream's parallelism
-    // come from in the FINAL adaptive plan?
-    val nearPairs = graft.dedup.Dedup.blockPairs(blocks, struct(col("id"), col("fp")),
+    // EXACT simhashNearDupPairs shape (shared stats, both tiers, union)
+    // minus the final checkpoint: where does the C(n,2) stream's
+    // parallelism come from in the FINAL adaptive plan?
+    val scope = new graft.ops.CacheScope
+    val fpC = scope.cache(fp)
+    val (exactPairs0, fpStats) = graft.dedup.Dedup.blockPairsWithStats(
+      fpC.select(col("fp").as("key"), col("id")),
+      struct(col("id")), 1024, Int.MaxValue, 8, p => p("id"), oversizedStar = true)
+    val exactPairs = exactPairs0
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(0).as("hamming"))
+    val reps0 = fpStats.select(col("key").as("fp"), col("pmin.id").as("id"))
+    val blocks2 = reps0.select(
+      explode(simhash_band_keys(col("fp"), 8, 2)).as("key"), col("id"), col("fp"))
+    val nearPairs = graft.dedup.Dedup.blockPairs(blocks2, struct(col("id"), col("fp")),
         1024, 1000000, 8, p => p("fp"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming_dist64(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming").between(1, 6))
       .dropDuplicates("id_a", "id_b")
-    println("nearPairs count = " + nearPairs.count())
-    println(nearPairs.queryExecution.executedPlan.toString)
+    val outU = exactPairs.unionByName(nearPairs)
+    println("union out count = " + outU.count())
+    println(outU.queryExecution.executedPlan.toString)
+    scope.close()
 
-    // does the tier-1/tier-2 shared stats aggregate reuse its exchange?
-    val (exactPairs0, fpStats) = graft.dedup.Dedup.blockPairsWithStats(
-      fp.select(col("fp").as("key"), col("id")),
-      struct(col("id")), 1024, Int.MaxValue, 8, p => p("id"), oversizedStar = true)
-    val t1 = exactPairs0.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val reps2 = fpStats.select(col("key").as("fp"), col("pmin.id").as("id"))
-    val t2 = reps2.select(col("id"))
-    val u = t1.select(col("id_a").as("id")).unionByName(t2)
-    println("union count = " + u.count())
-    val planStr = u.queryExecution.executedPlan.toString
-    println("ReusedExchange occurrences: " + "ReusedExchange".r.findAllIn(planStr).size)
     spark.stop()
   }
 }

@@ -60,6 +60,27 @@ object StageProfile {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // GRAFT_PRINT_PLANS=1: dump the FINAL adaptive plan of every query
+    // execution (including eager-localCheckpoint interiors, which
+    // ExplainQuery cannot see) — §7.2 plan attribution for operators that
+    // materialize inside themselves.
+    if (sys.env.contains("GRAFT_PRINT_PLANS")) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = {
+          val s = qe.executedPlan.toString
+          if (s.length > 2000) { // only the substantial plans
+            println(s"==== QE $funcName ${durationNs / 1e9} s ====")
+            println(s.take(30000))
+          }
+        }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       name match {
         case "dedup_minhash_full" =>
