@@ -469,12 +469,29 @@ object Ann {
       .join(vb, col("id_b") === col("lsh_b.id"))
       .select(col("id_a"), col("id_b"),
         cosine_sim(col("lsh_a.vec"), col("lsh_b.vec")).as("cosine"))
-    // symmetrize, rank per query id
-    val sym = pairs.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine"))
-      .unionAll(pairs.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))
+    // symmetrize, rank per query id. ONE pass with a 2-element explode,
+    // not a unionAll of two selects: union branches are separate plan
+    // subtrees, so the unionAll shape re-executed the entire pair pipeline
+    // (bucket pairs + both vector-attach broadcast probes + cosine) once
+    // per direction — two identical 11 CPU-s stages in the bench profile
+    // (guide §1.2: don't compute things twice).
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cosine")),
+        struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cosine")))).as("e"))
+      .select(col("e.query_id").as("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.cosine").as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val ranked = sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // pin the rank window's fan-out: the candidate stream is sub-advisory
+    // in BYTES (2.2 MB at bench sf0.1) but large in ROWS (~800k), and AQE's
+    // byte-sized coalescing put the whole per-query sort on 2 tasks
+    // (2.4 s wall). hash(query_id) at the session's shuffle-partition count
+    // satisfies the window's distribution, so this moves the exchange
+    // rather than adding one; explicit-N is exempt from coalescing and
+    // cannot be elided here (no upstream query_id partitioning exists).
+    val nParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val ranked = sym.repartition(nParts, col("query_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
 
     val (completed, scratch) = completeTopK(v, v, ranked, k, cfg)
     val out = completed.localCheckpoint(eager = true)

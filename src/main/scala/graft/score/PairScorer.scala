@@ -95,7 +95,19 @@ object PairScorer {
       // rejects — the vast majority of the candidate stream (guide §1.2
       // per-task work: make the code inside the stage fast). Same
       // predicate, same edge set.
-      .filter(col("jaccard") >= cfg.jaccardFloor && col("score") >= cfg.threshold)
+      //
+      // The middle conjunct is the UPPER BOUND of the score with lev_sim
+      // at its maximum 1.0: it is implied by `score >= threshold`, so the
+      // filter accepts exactly the same rows — but on corpora where the
+      // jaccard floor barely discriminates (template-heavy web text: 85%
+      // of bench candidates pass the floor) it rejects pairs after the
+      // jaro kernel alone, skipping the strictly costlier Levenshtein DP
+      // for every pair that cannot reach the threshold even with a
+      // perfect edit similarity.
+      .filter(col("jaccard") >= cfg.jaccardFloor &&
+        (col("jaro") * cfg.weights.jaro + lit(cfg.weights.lev) +
+          col("jaccard") * cfg.weights.jaccard) >= cfg.threshold &&
+        col("score") >= cfg.threshold)
       .select("url_a", "url_b", "jaro", "lev_sim", "jaccard", "score")
   }
 
