@@ -16,6 +16,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `t`, spread across the session's configured fan-out when the backing
+    * file is SMALL. A sub-split-size parquet file scans as 1-2 tasks, which
+    * starves every downstream per-row kernel (tokenize/window/minhash over
+    * each doc) of parallelism — measured 0.4-0.8 s map stages on 2 of 32
+    * cores for the heavy document queries (guide §2: the distributed
+    * algorithm first — parallelism before per-task tuning). The guard
+    * keeps this strictly a small-input fix: at real corpus sizes the scan
+    * already yields data-proportional splits and a blanket repartition
+    * would add a full pass over the payload for nothing. Round-robin
+    * repartition is deterministic under retries (sort-before-repartition,
+    * SPARK-23207) and every consumer below is row-order independent. */
+  private def tSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val small = new java.io.File(s"$dir/$name.parquet").length < 64L * 1024 * 1024
+    if (small) df.repartition(spark.sessionState.conf.numShufflePartitions) else df
+  }
+
   /** Deterministically-messy urls planted from doc_id for the url queries:
     * mod lanes cover scheme/host case, www + non-www subdomains, default
     * ports, ccSLD tlds (co.uk), empty paths, tracking-param mixes, and
@@ -320,7 +337,7 @@ object SparkEntry {
       // 't…'-token spans inside the window; the doc merge must union them,
       // dedup tuples seen by several overlapping windows (conf = first-seen
       // window), and sort — oracled against window-free doc-level truth
-      val d = t(s, dir, "documents")
+      val d = tSpread(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       val w = merge.Windows.splitTokens(d, "tokens", 32, 16)
         .select(col("doc_id"), col("offset"), col("window"))
@@ -538,7 +555,7 @@ object SparkEntry {
 
     "ngram_jaccard" -> ((s, dir) => {
       dedup.Dedup.ngramJaccardPairs(
-          t(s, dir, "documents"), "doc_id", "text", 1, (a, b) => b === a + 1)
+          tSpread(s, dir, "documents"), "doc_id", "text", 1, (a, b) => b === a + 1)
         .filter(col("jaccard") > 0)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
