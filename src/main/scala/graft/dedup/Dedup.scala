@@ -494,22 +494,31 @@ object Dedup {
     // pair explode: the C(n,2) stream this stage generates is quadratic in
     // block size, but AQE sizes every ENSURE_REQUIREMENTS exchange by its
     // INPUT bytes (a few MB of member arrays) and coalesced the entire
-    // pair-generation + verify stage onto 2 tasks at bench sf0.1 — 1.4 s
-    // of a 3.2 s query on one core while 31 sat idle (guide §2.5: AQE
-    // cannot see explode amplification). A keyed repartition BEFORE the
-    // aggregate was tried first and is not robust: when AQE's replanning
-    // broadcasts the block-rows side of the stats join, the streamed stats
-    // side already carries hash(key) partitioning and the pinned keyed
-    // exchange is elided, putting the explode back on the coalesced read.
-    // RoundRobinPartitioning with an explicit N can never be satisfied by
-    // an existing distribution, so it survives every plan shape; it also
-    // spreads blocks of very different sizes evenly (the same lever §2.5
-    // uses against skew), at the cost of one exchange of the member arrays
-    // — the same bytes the block rows already paid for one exchange, and
-    // two orders below the stream it parallelizes. N comes from the
-    // session's shuffle-partition conf — the scale knob the deployment
-    // already sizes — never a local constant.
-    val nParts = blocks.sparkSession.sessionState.conf.numShufflePartitions
+    // pair-generation + verify stage onto 1-2 tasks at bench sf0.1 (guide
+    // §2.5: AQE cannot see explode amplification). Two design notes from
+    // the measured A/Bs:
+    //  - a keyed repartition BEFORE the aggregate is not robust: when AQE's
+    //    replanning broadcasts the block-rows side of the stats join, the
+    //    streamed stats side already carries hash(key) partitioning and the
+    //    pinned keyed exchange is elided, putting the explode back on the
+    //    coalesced read. RoundRobinPartitioning with explicit N can never
+    //    be satisfied by an existing distribution, so it survives every
+    //    plan shape and evens out blocks of different sizes (§2.5).
+    //  - N must be COARSE: an interleaved fan-out sweep (8/16/32/64,
+    //    clean-canary minima via tools/BenchExtra) read 2.60/3.10/2.97/3.12 s
+    //    for dedup_simhash and 1.17/1.53/1.62/2.57 s for embedding_neardup —
+    //    per-task dispatch overhead on this host (~10-40 ms under virtio
+    //    steal) beats extra parallelism well before one-task-per-core, and
+    //    sibling union branches already overlap the stage. defaultParallelism/4
+    //    keeps the quotient proportional to cluster width;
+    //    numShufflePartitions/8 keeps a conf-driven floor for deployments
+    //    whose pair streams genuinely need thousands of partitions.
+    //    GRAFT_PAIR_FANOUT overrides for A/B measurement (GRAFT_CC_FANIN
+    //    precedent).
+    val spark2 = blocks.sparkSession
+    val nParts = sys.env.get("GRAFT_PAIR_FANOUT").map(_.toInt).getOrElse(
+      math.max(2, math.max(spark2.sparkContext.defaultParallelism / 4,
+        spark2.sessionState.conf.numShufflePartitions / 8)))
     val smallAll = withN
       .filter($"n".between(2, cap))
       .groupBy($"key").agg(collect_list($"p").as("members"))

@@ -33,7 +33,8 @@ object StageProfile {
 
     case class St(id: Int, t0: Long, var t1: Long, var tasks: Int,
                   var taskMs: Long, var shufReadB: Long, var shufWriteB: Long,
-                  name: String)
+                  name: String, var deserMs: Long = 0L, var gcMs: Long = 0L,
+                  var cpuNs: Long = 0L)
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, St]()
     @volatile var record = false
     val listener = new SparkListener {
@@ -54,6 +55,9 @@ object StageProfile {
             s.taskMs = m.executorRunTime
             s.shufReadB = m.shuffleReadMetrics.totalBytesRead
             s.shufWriteB = m.shuffleWriteMetrics.bytesWritten
+            s.deserMs = m.executorDeserializeTime
+            s.gcMs = m.jvmGCTime
+            s.cpuNs = m.executorCpuTime
           }
         }
       }
@@ -111,7 +115,8 @@ object StageProfile {
         val sorted = stages.values().toArray(Array.empty[St]).sortBy(_.t0)
         sorted.foreach { s =>
           val dur = if (s.t1 > 0) (s.t1 - s.t0) / 1000.0 else -1.0
-          println(f"  STAGE ${s.id}%4d $dur%6.2f s  cpu=${s.taskMs / 1000.0}%6.2f s tasks=${s.tasks}%4d " +
+          println(f"  STAGE ${s.id}%4d $dur%6.2f s  run=${s.taskMs / 1000.0}%6.2f s cpu=${s.cpuNs / 1e9}%6.2f s " +
+            f"deser=${s.deserMs / 1000.0}%5.2f s gc=${s.gcMs / 1000.0}%5.2f s tasks=${s.tasks}%4d " +
             f"sr=${s.shufReadB / 1048576.0}%7.1fMB sw=${s.shufWriteB / 1048576.0}%7.1fMB  ${s.name}")
         }
         val wall = sorted.filter(_.t1 > 0)
