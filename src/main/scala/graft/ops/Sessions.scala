@@ -45,7 +45,20 @@ object Sessions {
     "spark.sql.windowExec.buffer.in.memory.threshold" -> "512",
     "spark.cleaner.periodicGC.interval" -> "2min",
     "spark.io.compression.codec" -> "zstd",
-    "spark.driver.maxResultSize" -> "4g")
+    "spark.driver.maxResultSize" -> "4g",
+    // BypassMergeSortShuffleWriter concatenates its per-reducer files with
+    // FileChannel.transferTo, which mmaps and munmaps every segment; on
+    // this Firecracker guest every map/unmap is a VM-exit/TLB-shootdown
+    // storm (the same pathology run_java.sh documents for heap paging).
+    // Thread-dump sampling of a warm dedup_minhash_full run caught the
+    // majority of RUNNABLE task samples inside FileChannelImpl.map0/unmap0
+    // under BypassMergeSortShuffleWriter.writePartitionedDataWithChannel —
+    // shuffle-map stages at 13 s summed task time with only 1.7 s of
+    // executor CPU. Plain stream copy avoids the mapping; on hosts with
+    // sane mmap cost the difference is a wash for the KB-to-MB segment
+    // sizes this engine shuffles (transferTo's zero-copy win is for
+    // GB-scale segments).
+"spark.file.transferTo" -> "false")
 
   /** Apply [[survivalConfigs]]. Used by [[builder]]; exposed separately so
     * tools that build exotic sessions (e.g. the rehearsal itself) can

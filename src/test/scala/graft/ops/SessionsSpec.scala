@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * four settings reaching every session reduces to this map being right. */
 class SessionsSpec extends AnyFunSuite {
 
-  test("survival configs carry the four rehearsal lessons") {
+  test("survival configs carry the rehearsal + host-I/O lessons") {
     assert(Sessions.survivalConfigs == Map(
       // lesson 5: spillable window buffers from row 512 — the SN lead()
       // window's unspillable 4096-row default drained the task pool at 6M docs
@@ -17,7 +17,11 @@ class SessionsSpec extends AnyFunSuite {
       // lesson 4: shuffle bytes are the binding resource; zstd halves them
       "spark.io.compression.codec" -> "zstd",
       // CC local finish / ANN top-up collects must not die on the 1g default
-      "spark.driver.maxResultSize" -> "4g"))
+      "spark.driver.maxResultSize" -> "4g",
+      // round-6 lesson: the bypass shuffle writer's transferTo concat
+      // mmaps/unmaps every per-reducer segment — a VM-exit storm on this
+      // guest (thread dumps: map stages 13 s task time, 1.7 s CPU)
+      "spark.file.transferTo" -> "false"))
   }
 
   test("builder applies the survival configs (options visible pre-build)") {
