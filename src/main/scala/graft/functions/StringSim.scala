@@ -77,8 +77,64 @@ object StringSimKernels {
     j + prefix * 0.1 * (1.0 - j)
   }
 
-  def jaroWinklerU(a: UTF8String, b: UTF8String): Double =
+  /** Jaro over raw ASCII bytes — identical arithmetic to [[jaro]] when
+    * every char is single-byte (byte positions == char positions). Avoids
+    * the two String allocations + UTF-16 decode per pair that dominated
+    * the scorer's per-pair cost at 650k floor-passing candidates/run. */
+  private def jaroAscii(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes
+    val lb = b.numBytes
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatched = new Array[Boolean](la)
+    val bMatched = new Array[Boolean](lb)
+    var matches = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      val ca = a.getByte(i)
+      while (j <= hi && !found) {
+        if (!bMatched(j) && ca == b.getByte(j)) {
+          aMatched(i) = true; bMatched(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatched(i)) {
+        while (!bMatched(k)) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / la + m / lb + (m - (t / 2)) / m) / 3.0
+  }
+
+  def jaroWinklerU(a: UTF8String, b: UTF8String): Double = {
+    // ASCII fast path (normalized mentions are single-byte in practice):
+    // byte-wise jaro is exact when numBytes == numChars on BOTH sides —
+    // any multi-byte char falls back to the String path
+    if (a.numBytes == a.numChars && b.numBytes == b.numChars) {
+      val j = jaroAscii(a, b)
+      if (j <= 0.7) return j
+      var prefix = 0
+      val max = math.min(4, math.min(a.numBytes, b.numBytes))
+      while (prefix < max && a.getByte(prefix) == b.getByte(prefix)) prefix += 1
+      return j + prefix * 0.1 * (1.0 - j)
+    }
     jaroWinkler(a.toString, b.toString)
+  }
 
   /** Levenshtein similarity = 1 - dist/maxLen (1.0 for two empties). */
   def levenshteinSim(a: UTF8String, b: UTF8String): Double = {

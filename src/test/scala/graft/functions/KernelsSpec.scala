@@ -33,6 +33,19 @@ class KernelsSpec extends AnyFunSuite {
     })
   }
 
+  test("jaroWinklerU ASCII byte path == String path (property, incl. non-ASCII fallback)") {
+    // the codegen entry point takes UTF8String and fast-paths pure-ASCII
+    // inputs over raw bytes; it must be bit-identical to the String kernel
+    // for ANY input — non-ASCII pairs exercise the fallback branch
+    val ascii = Gen.alphaNumStr.map(_.take(24))
+    val mixed = Gen.oneOf(ascii, ascii.map(s => "é" + s + "ß"), ascii.map("žluť" + _))
+    check(Prop.forAll(mixed, mixed) { (a: String, b: String) =>
+      val u = StringSimKernels.jaroWinklerU(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      u == StringSimKernels.jaroWinkler(a, b)
+    })
+  }
+
   test("normalize: diacritics, case, punctuation") {
     assert(StringSimKernels.normalize("José  O'Neill-Smith") == "jose o neill smith")
     assert(StringSimKernels.normalize("  ÁBC  123 ") == "abc 123")
