@@ -504,21 +504,22 @@ object Dedup {
     //    coalesced read. RoundRobinPartitioning with explicit N can never
     //    be satisfied by an existing distribution, so it survives every
     //    plan shape and evens out blocks of different sizes (§2.5).
-    //  - N must be COARSE: an interleaved fan-out sweep (8/16/32/64,
-    //    clean-canary minima via tools/BenchExtra) read 2.60/3.10/2.97/3.12 s
-    //    for dedup_simhash and 1.17/1.53/1.62/2.57 s for embedding_neardup —
-    //    per-task dispatch overhead on this host (~10-40 ms under virtio
-    //    steal) beats extra parallelism well before one-task-per-core, and
-    //    sibling union branches already overlap the stage. defaultParallelism/4
-    //    keeps the quotient proportional to cluster width;
-    //    numShufflePartitions/8 keeps a conf-driven floor for deployments
-    //    whose pair streams genuinely need thousands of partitions.
-    //    GRAFT_PAIR_FANOUT overrides for A/B measurement (GRAFT_CC_FANIN
-    //    precedent).
+    //  - N sizing: with the transferTo stall fixed (Sessions survival
+    //    configs) an interleaved clean-canary fan-out sweep over 8/32/64
+    //    (tools/BenchExtra minima, 4 heavy queries) reads 11.38/11.34/11.89 s
+    //    — one-task-per-core is free at bench scale, and anything finer
+    //    only adds dispatch overhead. defaultParallelism gives exactly
+    //    that on any core count (the 900k-doc scaling points at local[2/8]
+    //    must NOT be capped below their cores — the pin is a floor against
+    //    AQE's byte-blind coalescing, never a ceiling on big streams);
+    //    numShufflePartitions/2 keeps a conf-proportional floor for
+    //    deployments whose pair streams genuinely need thousands of
+    //    partitions. GRAFT_PAIR_FANOUT overrides for A/B measurement
+    //    (GRAFT_CC_FANIN precedent).
     val spark2 = blocks.sparkSession
     val nParts = sys.env.get("GRAFT_PAIR_FANOUT").map(_.toInt).getOrElse(
-      math.max(2, math.max(spark2.sparkContext.defaultParallelism / 4,
-        spark2.sessionState.conf.numShufflePartitions / 8)))
+      math.max(spark2.sparkContext.defaultParallelism,
+        spark2.sessionState.conf.numShufflePartitions / 2))
     val smallAll = withN
       .filter($"n".between(2, cap))
       .groupBy($"key").agg(collect_list($"p").as("members"))
