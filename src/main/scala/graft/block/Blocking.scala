@@ -106,8 +106,17 @@ object Blocking {
     // keep one materialization instead of re-running the kernel per consumer.
     // Registered with the caller's CacheScope when given, so the cache is
     // freed once the caller's output is materialized.
+    //
+    // LAZY persist (not the scope's eager default): the FIRST consumer is
+    // dfStopSet's dfs aggregate, whose own eager materialization (inside
+    // the same sequential features() call, before any fan-out exists)
+    // builds this cache exactly once as a side effect — kernel pass and
+    // df aggregation fuse into ONE job. The eager barrier here cost one
+    // extra stage wave plus a full cache re-read between build and first
+    // use: ~1.7 s of serial (core-count-independent) wall on the 900k-doc
+    // scaling workload, i.e. pure fixed-floor F in the north-rule ratio.
     val raw = if (cfg.dfStopRatio < 1.0)
-      scope.map(_.cache(raw0)).getOrElse(
+      scope.map(_.cacheLazy(raw0)).getOrElse(
         raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else raw0
 

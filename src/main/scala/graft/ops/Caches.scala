@@ -40,9 +40,24 @@ final class CacheScope {
     * other consumer into a block read. */
   def cache(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = cacheLazy(df, level)
+    p.count()
+    p
+  }
+
+  /** Persist WITHOUT the materializing count — for frames whose FIRST
+    * consumer is provably a single sequential action (e.g. the feature
+    * pass's raw tokenization, which only the DF-stop aggregate reads before
+    * any fan-out): that consumer's own execution builds the cache exactly
+    * once, and the eager barrier would only add one serial stage wave plus
+    * a full re-read of the cache between build and first use. Callers must
+    * document the single-first-consumer argument at the call site — with a
+    * concurrent first fan-out this degrades to the N-times-recomputed
+    * kernel [[cache]] exists to prevent. */
+  def cacheLazy(df: DataFrame,
+                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
     frames += p
-    p.count()
     p
   }
 
